@@ -1,0 +1,127 @@
+"""Host-side input pipeline: sampling, batching, prefetch, host sharding.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(reference: training/lightning/object_detection/datamodule.py:287-305,
+training/yolopt/main.py:46-49) with a light dependency-free pipeline:
+
+  * ``LimitedSampler`` — the reference's epoch-subsampling LimitedDataset
+    (reference: object_detection/datamodule.py:17-36): shuffle then truncate
+    to ``max_samples`` per epoch, reshuffled each epoch
+  * per-host sharding: each JAX process takes a disjoint stride of the sample
+    list (DistributedSampler parity)
+  * background-thread prefetch of the next N batches with ``device_put``
+    overlap
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class LimitedSampler:
+    """Shuffled, optionally-truncated index stream, deterministic per epoch."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        max_samples: Optional[int] = None,
+        seed: int = 42,
+        shuffle: bool = True,
+        shard_index: Optional[int] = None,
+        shard_count: Optional[int] = None,
+    ):
+        self.n = num_samples
+        self.max_samples = max_samples
+        self.seed = seed
+        self.shuffle = shuffle
+        self.shard_index = shard_index if shard_index is not None else jax.process_index()
+        self.shard_count = shard_count if shard_count is not None else jax.process_count()
+
+    def indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        if self.max_samples is not None:
+            idx = idx[: self.max_samples]
+        return idx[self.shard_index :: self.shard_count]
+
+
+def batched(
+    indices: Sequence[int],
+    fetch: Callable[[int], Dict[str, np.ndarray]],
+    collate: Callable[[List[Dict[str, np.ndarray]]], Dict[str, np.ndarray]],
+    batch_size: int,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    buf: List[Dict[str, np.ndarray]] = []
+    for i in indices:
+        buf.append(fetch(int(i)))
+        if len(buf) == batch_size:
+            yield collate(buf)
+            buf = []
+    if buf and not drop_last:
+        yield collate(buf)
+
+
+def default_collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def prefetch_to_device(
+    it: Iterable[Dict[str, Any]], size: int = 2, sharding=None
+) -> Iterator[Dict[str, Any]]:
+    """Threaded prefetch; optionally places batches with a NamedSharding so
+    the device transfer overlaps the previous step."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in it:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def make_epoch_loader(
+    dataset,
+    batch_size: int,
+    *,
+    max_samples: Optional[int] = None,
+    seed: int = 42,
+    shuffle: bool = True,
+    prefetch: int = 2,
+    sharding=None,
+    collate: Optional[Callable] = None,
+) -> Callable[[int], Iterator[Dict[str, Any]]]:
+    """Bundle a dataset (len + __getitem__-style ``fetch``) into the
+    epoch -> iterator protocol used by the round-robin trainer."""
+    sampler = LimitedSampler(len(dataset), max_samples, seed, shuffle)
+    collate = collate or getattr(dataset, "collate", default_collate)
+
+    def loader(epoch: int):
+        it = batched(sampler.indices(epoch), dataset.__getitem__, collate, batch_size)
+        if prefetch > 0:
+            return prefetch_to_device(it, prefetch, sharding)
+        return it
+
+    return loader

@@ -1,0 +1,147 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-first conventions used across all models:
+  * NHWC activations — XLA's native conv layout on TPU.
+  * fp32 params, bf16 compute via the module `dtype` arg.
+  * BatchNorm statistics reduce over the *global* batch under jit + batch
+    sharding, which reproduces the reference's SyncBatchNorm for free
+    (reference: training/yolopt/main.py:57-60).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv2d(bias-free) + BatchNorm + activation.
+
+    Mirrors the reference's ubiquitous Conv block
+    (reference: training/yolopt/nets/nn.py:28-39) but in NHWC. ``fuse`` at
+    inference time is unnecessary: XLA folds inference-mode BN into the conv.
+    """
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    padding: Any = 0  # int or "SAME"
+    groups: int = 1
+    act: Optional[Callable] = nn.silu
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.97  # flax momentum = 1 - torch momentum (0.03)
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            epsilon=self.bn_eps,
+            momentum=self.bn_momentum,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class PReLU(nn.Module):
+    """Per-channel parametric ReLU (torch ``nn.PReLU(num_parameters=C)``
+    semantics; flax's builtin PReLU is scalar-only)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],), jnp.float32
+        ).astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def nearest_upsample(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor x`scale` upsample, NHWC (torch Upsample default)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def _linear_resize_matrix(
+    in_size: int, out_size: int, align_corners: bool, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(out, in) row-stochastic bilinear interpolation matrix.
+
+    Expressing the fixed-size resize as two small matmuls keeps it on the MXU
+    and lets XLA fuse it with neighboring ops (instead of gather-based
+    ``jax.image.resize``, which cannot express align_corners=True at all —
+    the reference's adapters use align_corners=True,
+    reference: training/modify_models.py:47,237,359).
+    """
+    if out_size == 1:
+        src = jnp.zeros((1,), dtype)
+    elif align_corners:
+        src = jnp.arange(out_size, dtype=dtype) * ((in_size - 1) / (out_size - 1))
+    else:
+        scale = in_size / out_size
+        src = jnp.clip((jnp.arange(out_size, dtype=dtype) + 0.5) * scale - 0.5, 0.0, in_size - 1)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    frac = src - lo.astype(dtype)
+    rows = jnp.arange(out_size)
+    m = jnp.zeros((out_size, in_size), dtype)
+    m = m.at[rows, lo].add(1.0 - frac)
+    m = m.at[rows, hi].add(frac)
+    return m
+
+
+def bilinear_resize(
+    x: jnp.ndarray, out_hw: Tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize NHWC -> (B, H', W', C) as two separable matmuls."""
+    h_out, w_out = out_hw
+    b, h, w, c = x.shape
+    mh = _linear_resize_matrix(h, h_out, align_corners, x.dtype)
+    mw = _linear_resize_matrix(w, w_out, align_corners, x.dtype)
+    return jnp.einsum("oh,bhwc,pw->bopc", mh, x, mw)
+
+
+class AdaptiveAvgPool(nn.Module):
+    """Global average pool to (1, 1) (torch AdaptiveAvgPool2d((1,1)))."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x.mean(axis=(1, 2), keepdims=True)
+
+
+def max_pool(x, window: int, strides: int = 1, padding: int = 0):
+    """Max pool NHWC with symmetric integer padding (torch semantics)."""
+    pad = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, strides, strides, 1),
+        pad,
+    )

@@ -1,0 +1,178 @@
+"""ViT encoder + ViTPose heatmap decoders.
+
+Clean-room flax implementation matching the architecture of HuggingFace
+``VitPoseForPoseEstimation("usyd-community/vitpose-base-simple")`` that the
+reference wraps (reference: training/modify_models.py:388-407):
+  * ViT-B/16 backbone over 256x192 inputs, patch-embed conv has padding=2,
+    no CLS token; HF stores ``num_patches + 1`` position embeddings and adds
+    ``pos[1:] + pos[:1]`` — we keep a single folded (num_patches, C) table
+    (the porting code folds the extra token in)
+  * "simple" decoder: ReLU -> bilinear x4 (align_corners=False) -> 3x3 conv
+  * "classic" decoder: 2 deconv blocks + 1x1 conv
+
+The attention is a single fused QKV einsum; sequence length is 192 tokens so
+there is nothing to shard — it lives comfortably in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from prpe_tpu.nn.common import bilinear_resize
+
+Dtype = Any
+
+
+class MHSA(nn.Module):
+    hidden: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        hd = self.hidden // self.heads
+        q = nn.Dense(self.hidden, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.hidden, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.hidden, dtype=self.dtype, name="v")(x)
+        q = q.reshape(b, t, self.heads, hd)
+        k = k.reshape(b, t, self.heads, hd)
+        v = v.reshape(b, t, self.heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd**-0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name=name)
+        x = x + MHSA(self.hidden, self.heads, dtype=self.dtype, name="attn")(ln("ln1")(x))
+        y = ln("ln2")(x)
+        y = nn.Dense(self.hidden * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class ViTPoseBackbone(nn.Module):
+    """ViT encoder over pose crops -> (B, H/16, W/16, hidden) feature map."""
+
+    image_size: Tuple[int, int] = (256, 192)
+    patch_size: int = 16
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        h, w = self.image_size
+        # HF patch conv uses padding=2 with k=16/s=16 (see module docstring)
+        gh = (h + 4 - self.patch_size) // self.patch_size + 1
+        gw = (w + 4 - self.patch_size) // self.patch_size + 1
+        x = nn.Conv(
+            self.hidden,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding=[(2, 2), (2, 2)],
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, gh * gw, self.hidden)
+
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (gh * gw, self.hidden),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)[None]
+
+        for i in range(self.layers):
+            x = ViTBlock(self.hidden, self.heads, self.mlp_ratio, dtype=self.dtype,
+                         name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln_final")(x)
+        return x.reshape(b, gh, gw, self.hidden)
+
+
+class SimpleDecoder(nn.Module):
+    """ReLU -> bilinear x`scale` -> 3x3 conv -> K heatmaps (NHWC)."""
+
+    num_keypoints: int = 17
+    scale_factor: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.relu(x)
+        b, h, w, c = x.shape
+        x = bilinear_resize(x, (h * self.scale_factor, w * self.scale_factor),
+                            align_corners=False)
+        return nn.Conv(self.num_keypoints, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name="conv")(x)
+
+
+class ClassicDecoder(nn.Module):
+    """2x (deconv4x4/2 + BN + ReLU) -> 1x1 conv -> K heatmaps (NHWC)."""
+
+    num_keypoints: int = 17
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        for i in range(2):
+            x = nn.ConvTranspose(
+                256, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                use_bias=False, dtype=self.dtype, name=f"deconv{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, epsilon=1e-5, momentum=0.9,
+                dtype=self.dtype, name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        return nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype, name="conv")(x)
+
+
+class ViTPose(nn.Module):
+    """Backbone + decoder -> heatmaps (B, K, Hh, Wh) — channels-first output
+    to match the downstream heatmap ops' (B, K, H, W) convention."""
+
+    image_size: Tuple[int, int] = (256, 192)
+    num_keypoints: int = 17
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 16
+    decoder: str = "simple"
+    scale_factor: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        feats = ViTPoseBackbone(
+            image_size=self.image_size, patch_size=self.patch_size,
+            hidden=self.hidden, layers=self.layers, heads=self.heads,
+            mlp_ratio=self.mlp_ratio, dtype=self.dtype, name="backbone",
+        )(x, train)
+        if self.decoder == "simple":
+            hm = SimpleDecoder(self.num_keypoints, self.scale_factor,
+                               dtype=self.dtype, name="head")(feats, train)
+        else:
+            hm = ClassicDecoder(self.num_keypoints, dtype=self.dtype, name="head")(
+                feats, train
+            )
+        return hm.transpose(0, 3, 1, 2)  # (B, K, H, W)

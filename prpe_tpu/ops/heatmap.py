@@ -1,0 +1,159 @@
+"""Keypoint heatmap target generation and decoding.
+
+Re-derivations of the reference pose math:
+  * multi-instance adaptive-sigma Gaussian targets
+    (reference: training/lightning/pose_estimation/module.py:298-380)
+  * soft-argmax / UDP keypoint decode
+    (reference: training/lightning/pose_estimation/module.py:237-296)
+
+The reference generates targets with B x N Python loops; here the Gaussian is
+built as a *separable outer product* (exp(-dx^2) x exp(-dy^2)) inside a
+``lax.scan`` over padded instances, so peak memory is O(B*K*H*W) regardless of
+instance count and everything jits with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# COCO 17-keypoint OKS sigmas (public COCO eval constants; the reference
+# carries the same table at training/lightning/pose_estimation/datamodule.py:37)
+COCO_SIGMAS = jnp.array(
+    [
+        0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+        0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+    ],
+    dtype=jnp.float32,
+)
+
+# left/right channel swap pairs for horizontal flip test
+# (reference: training/lightning/pose_estimation/datamodule.py:25-35)
+COCO_FLIP_PAIRS = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16))
+
+COCO_FLIP_PERM = jnp.array(
+    [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15], dtype=jnp.int32
+)
+
+
+def generate_target_heatmaps(
+    keypoints: jnp.ndarray,
+    visibility: jnp.ndarray,
+    areas: Optional[jnp.ndarray],
+    *,
+    heatmap_size: Tuple[int, int],
+    sigma: float = 2.0,
+    nominal_scale: float = 96.0,
+    threshold: float = 0.005,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-instance Gaussian heatmap targets, max-combined across instances.
+
+    Args:
+      keypoints: (B, N, K, 2) normalized [0, 1] (x, y) coordinates, padded to
+        a static instance count N.
+      visibility: (B, N, K) COCO visibility flags (0/1/2); padded slots 0.
+      areas: (B, N) instance areas for adaptive sigma, or None.
+      heatmap_size: (H, W).
+      sigma: base Gaussian sigma (pixels in heatmap space).
+      nominal_scale: sqrt-area that maps to sigma exactly (reference uses 96).
+      threshold: post-normalization noise floor (reference uses 0.005).
+
+    Returns:
+      heatmaps: (B, K, H, W) sum-normalized target distributions.
+      weights: (B, K) — 1.0 where any instance has vis==2, else 0.5 where any
+        instance with >=1 visible keypoint exists, else 0 (exact reference
+        semantics including its vis==0 -> 0.5 quirk at module.py:369-372).
+    """
+    bsz, n, k, _ = keypoints.shape
+    h, w = heatmap_size
+    dtype = keypoints.dtype
+
+    xs = jnp.arange(w, dtype=dtype)
+    ys = jnp.arange(h, dtype=dtype)
+
+    mu = keypoints * jnp.array([w, h], dtype=dtype) - 0.5  # (B, N, K, 2)
+
+    if areas is not None:
+        scale = jnp.sqrt(jnp.maximum(areas, 0.0))
+        adaptive_sigma = sigma * jnp.clip(scale / nominal_scale, 0.5, 2.0)  # (B, N)
+    else:
+        adaptive_sigma = jnp.full((bsz, n), sigma, dtype=dtype)
+
+    valid_kpt = visibility > 0  # (B, N, K)
+    inst_valid = valid_kpt.any(axis=-1)  # (B, N)
+
+    def step(carry, inp):
+        heat, wacc = carry
+        mu_n, sig_n, visn, instn = inp  # (B,K,2), (B,), (B,K), (B,)
+        inv = 1.0 / (2.0 * sig_n[:, None, None] ** 2)  # (B,1,1)
+        # separable Gaussian: (B,K,H) x (B,K,W)
+        gy = jnp.exp(-((ys[None, None, :] - mu_n[..., 1:2]) ** 2) * inv)
+        gx = jnp.exp(-((xs[None, None, :] - mu_n[..., 0:1]) ** 2) * inv)
+        mask = ((visn > 0) & instn[:, None]).astype(dtype)  # (B, K)
+        g = jnp.einsum("bkh,bkw->bkhw", gy, gx) * mask[..., None, None]
+        heat = jnp.maximum(heat, g)
+        wn = jnp.where(visn == 2, 1.0, 0.5).astype(dtype) * instn[:, None].astype(dtype)
+        wacc = jnp.maximum(wacc, wn)
+        return (heat, wacc), None
+
+    heat0 = jnp.zeros((bsz, k, h, w), dtype=dtype)
+    w0 = jnp.zeros((bsz, k), dtype=dtype)
+    (heatmaps, weights), _ = jax.lax.scan(
+        step,
+        (heat0, w0),
+        (
+            mu.transpose(1, 0, 2, 3),
+            adaptive_sigma.T,
+            visibility.transpose(1, 0, 2),
+            inst_valid.T,
+        ),
+    )
+
+    heatmaps = heatmaps / (heatmaps.sum(axis=(2, 3), keepdims=True) + 1e-8)
+    heatmaps = jnp.where(heatmaps > threshold, heatmaps, 0.0)
+    return heatmaps, weights
+
+
+def decode_heatmaps(
+    heatmaps: jnp.ndarray,
+    boxes: Optional[jnp.ndarray] = None,
+    *,
+    nominal_scale: float = 96.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft-argmax (UDP-style) keypoint decode.
+
+    Args:
+      heatmaps: (B, K, H, W) raw predicted heatmaps (logits).
+      boxes: optional (B, 4) xyxy boxes for scale-aware score re-weighting.
+
+    Returns:
+      coords: (B, K, 2) normalized [0, 1] (x, y).
+      scores: (B, K) max softmax probability (optionally scale-weighted).
+    """
+    b, k, h, w = heatmaps.shape
+    flat = heatmaps.reshape(b, k, h * w)
+    prob = jax.nn.softmax(flat, axis=-1)
+
+    xs = jnp.arange(w, dtype=heatmaps.dtype)
+    ys = jnp.arange(h, dtype=heatmaps.dtype)
+    probhw = prob.reshape(b, k, h, w)
+    x_exp = jnp.einsum("bkhw,w->bk", probhw, xs) + 0.5
+    y_exp = jnp.einsum("bkhw,h->bk", probhw, ys) + 0.5
+    coords = jnp.stack([x_exp / w, y_exp / h], axis=-1)
+
+    scores = prob.max(axis=-1)
+    if boxes is not None:
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        scale = jnp.sqrt(jnp.maximum(area, 0.0))
+        scale_weight = jnp.clip(scale / nominal_scale, 0.5, 2.0)
+        scores = scores * scale_weight[:, None]
+    return coords, scores
+
+
+def flip_heatmaps(heatmaps: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal-flip-test transform: mirror W and swap L/R channels
+    (reference: training/lightning/pose_estimation/module.py:478-481)."""
+    flipped = jnp.flip(heatmaps, axis=-1)
+    return flipped[:, COCO_FLIP_PERM]

@@ -1,0 +1,111 @@
+"""Orbax checkpointing of the combined train state.
+
+Parity with the reference's two mechanisms
+(reference: training/round_robin_trainer.py:294-319,375-393):
+  * combined checkpoints per (epoch, task): params + batch stats + per-task
+    optimizer states + bookkeeping (epoch, last_task)
+  * best-checkpoint tracking per task monitor
+Resume restores everything — no ``configure_optimizers`` monkey-patching
+needed because optimizer state is first-class here.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from prpe_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.dir = Path(directory).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+        self._ckpt = ocp.StandardCheckpointer()
+        self._meta_path = self.dir / "meta.json"
+
+    # ----------------------------------------------------------------- #
+    def _meta(self) -> Dict[str, Any]:
+        if self._meta_path.exists():
+            return json.loads(self._meta_path.read_text())
+        return {"checkpoints": [], "best": {}}
+
+    def _write_meta(self, meta):
+        self._meta_path.write_text(json.dumps(meta, indent=2))
+
+    # ----------------------------------------------------------------- #
+    def save(
+        self,
+        state: TrainState,
+        epoch: int,
+        last_task: str,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> str:
+        name = f"epoch{epoch:04d}_{last_task}"
+        path = self.dir / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path, jax.device_get(state))
+        meta = self._meta()
+        meta["checkpoints"].append(
+            {"name": name, "epoch": epoch, "last_task": last_task,
+             "metrics": {k: float(v) for k, v in (metrics or {}).items()}}
+        )
+        # retention: keep the newest `keep`
+        while len(meta["checkpoints"]) > self.keep:
+            old = meta["checkpoints"].pop(0)
+            old_path = self.dir / old["name"]
+            if old_path.exists() and old["name"] not in meta["best"].values():
+                shutil.rmtree(old_path)
+        self._write_meta(meta)
+        return str(path)
+
+    def update_best(self, task: str, monitor: str, value: float, mode: str,
+                    state: TrainState, epoch: int) -> bool:
+        """Track per-task best by monitor (reference ModelCheckpoint analogue,
+        round_robin_trainer.py:150-184). Returns True if improved."""
+        meta = self._meta()
+        best = meta["best"].get(task)
+        better = (
+            best is None
+            or (mode == "max" and value > best["value"])
+            or (mode == "min" and value < best["value"])
+        )
+        if better:
+            name = f"best_{task}"
+            path = self.dir / name
+            if path.exists():
+                shutil.rmtree(path)
+            self._ckpt.save(path, jax.device_get(state))
+            meta["best"][task] = {"value": float(value), "monitor": monitor,
+                                  "epoch": epoch, "name": name}
+            self._write_meta(meta)
+        return better
+
+    # ----------------------------------------------------------------- #
+    def latest(self) -> Optional[Tuple[str, Dict[str, Any]]]:
+        meta = self._meta()
+        if not meta["checkpoints"]:
+            return None
+        entry = meta["checkpoints"][-1]
+        return str(self.dir / entry["name"]), entry
+
+    def restore(self, target: TrainState, path: Optional[str] = None) -> Tuple[TrainState, Dict[str, Any]]:
+        """Restore into the structure of ``target`` (an abstract or concrete
+        TrainState)."""
+        if path is None:
+            latest = self.latest()
+            if latest is None:
+                raise FileNotFoundError(f"no checkpoints under {self.dir}")
+            path, entry = latest
+        else:
+            entry = {}
+        restored = self._ckpt.restore(Path(path), target)
+        return restored, entry

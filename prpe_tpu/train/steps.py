@@ -1,0 +1,213 @@
+"""Per-task jitted train / eval step factories.
+
+Each task gets its *own* compiled program over the *shared* parameter pytree
+(the TPU-native answer to the reference's mutable ``set_task`` +
+Lightning-module-per-task design, training/round_robin_trainer.py:231-258).
+The returned step functions donate the train state, so the round-robin loop
+runs with zero host<->device parameter traffic and zero recompilation after
+the first epoch.
+
+Batch schemas (all static shapes; host pipeline pads):
+  detection:        {image (B,H,W,3), gt_labels (B,M), gt_boxes (B,M,4 cxcywh
+                     normalized), gt_mask (B,M)}
+  face_recognition: {image (B,H,W,3), label (B,)}
+  pose_estimation:  {image (B,H,W,3), keypoints (B,N,K,3), boxes (B,N,4),
+                     areas (B,N), mask (B,N)}
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from prpe_tpu.core.config import CombinedModelConfig
+from prpe_tpu.ops import heatmap as heatmap_ops
+from prpe_tpu.ops import losses as L
+from prpe_tpu.ops import nms as nms_ops
+from prpe_tpu.ops.boxes import cxcywh_to_xyxy
+from prpe_tpu.nn.yolo import decode_predictions
+from prpe_tpu.train.state import TrainState, update_ema
+
+DETECTION_TASKS = ("person_detection", "face_detection")
+
+
+def _branch(task: str) -> str:
+    return "person" if task == "person_detection" else "face"
+
+
+def make_loss_fn(model, task: str, cfg: CombinedModelConfig) -> Callable:
+    """Returns loss_fn(params, batch_stats, batch, rng, train) ->
+    (loss, (new_batch_stats, metrics))."""
+
+    det = cfg.detection
+    pose = cfg.pose
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool = True):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": rng} if train else None
+        mutable = ["batch_stats"] if train else []
+
+        def apply(*args, method):
+            if train:
+                return model.apply(variables, *args, method=method,
+                                   mutable=mutable, rngs=rngs)
+            return model.apply(variables, *args, method=method), {"batch_stats": batch_stats}
+
+        if task in DETECTION_TASKS:
+            outs, mut = apply(batch["image"], _branch(task), train, method="detect")
+            dl = L.yolo_detection_loss(
+                outs,
+                batch["gt_labels"],
+                batch["gt_boxes"],
+                batch["gt_mask"],
+                num_classes=det.num_classes,
+                reg_max=det.reg_max,
+                box_gain=det.box_gain,
+                cls_gain=det.cls_gain,
+                dfl_gain=det.dfl_gain,
+                assigner_top_k=det.assigner_top_k,
+                assigner_alpha=det.assigner_alpha,
+                assigner_beta=det.assigner_beta,
+            )
+            metrics = {"loss": dl.total, "box_loss": dl.box,
+                       "cls_loss": dl.cls, "dfl_loss": dl.dfl}
+            return dl.total, (mut["batch_stats"], metrics)
+
+        if task == "face_recognition":
+            logits, mut = apply(batch["image"], batch["label"], train,
+                                method="face_logits")
+            loss = L.softmax_cross_entropy(logits, batch["label"]).mean()
+            acc = (logits.argmax(-1) == batch["label"]).astype(jnp.float32).mean()
+            return loss, (mut["batch_stats"], {"loss": loss, "acc": acc})
+
+        if task == "pose_estimation":
+            kpts = batch["keypoints"]
+            coords, vis = kpts[..., :2], kpts[..., 2]
+            target_hm, target_w = heatmap_ops.generate_target_heatmaps(
+                coords, vis, batch["areas"],
+                heatmap_size=pose.heatmap_size, sigma=pose.sigma,
+            )
+            pred_hm, mut = apply(batch["image"], train, method="pose")
+            pred_hm = pred_hm.astype(jnp.float32)
+            hm_loss = L.joints_mse_loss(
+                pred_hm, target_hm, target_w,
+                use_ohkm=pose.use_ohkm, ohkm_topk=pose.ohkm_topk,
+            )
+            total = hm_loss
+            metrics = {"heatmap_loss": hm_loss}
+            pred_coords, pred_scores = heatmap_ops.decode_heatmaps(
+                pred_hm, boxes=batch["boxes"][:, 0]
+            )
+            if pose.use_oks_loss:
+                ol = L.oks_loss(
+                    pred_coords, coords[:, 0], vis[:, 0], batch["areas"][:, 0],
+                    loss_weight=pose.oks_loss_weight,
+                )
+                total = total + ol
+                metrics["oks_loss"] = ol
+            metrics["loss"] = total
+            metrics["pck"] = L.pck_accuracy(
+                pred_coords, coords[:, 0], vis[:, 0], batch["areas"][:, 0]
+            )
+            return total, (mut["batch_stats"], metrics)
+
+        raise ValueError(f"unknown task {task!r}")
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    task: str,
+    tx: optax.GradientTransformation,
+    cfg: CombinedModelConfig,
+    *,
+    use_ema: bool = False,
+    ema_decay: float = 0.9999,
+    ema_tau: float = 2000.0,
+) -> Callable[[TrainState, Dict[str, Any], jax.Array], Tuple[TrainState, Dict]]:
+    loss_fn = make_loss_fn(model, task, cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, True
+        )
+        updates, new_opt = tx.update(grads, state.opt_states[task], state.params)
+        params = optax.apply_updates(state.params, updates)
+        opt_states = dict(state.opt_states)
+        opt_states[task] = new_opt
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_states=opt_states,
+        )
+        if use_ema and state.ema_params is not None:
+            new_state = new_state.replace(
+                ema_updates=state.ema_updates + 1,
+                ema_params=update_ema(
+                    state.ema_params, params, state.ema_updates + 1,
+                    decay=ema_decay, tau=ema_tau,
+                ),
+            )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, task: str, cfg: CombinedModelConfig) -> Callable:
+    """Jitted eval step -> metrics dict (+ fixed-shape predictions where the
+    task has a host-side evaluation stage)."""
+    loss_fn = make_loss_fn(model, task, cfg)
+    det = cfg.detection
+    pose = cfg.pose
+
+    @jax.jit
+    def step(variables, batch):
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        dummy_rng = jax.random.key(0)
+
+        if task in DETECTION_TASKS:
+            loss, (_, metrics) = loss_fn(params, batch_stats, batch, dummy_rng, False)
+            outs = model.apply(variables, batch["image"], _branch(task), False,
+                               method="detect")
+            decoded = decode_predictions(outs, det.num_classes, det.reg_max)
+            detections = nms_ops.non_max_suppression(
+                decoded,
+                conf_threshold=det.conf_threshold,
+                iou_threshold=det.iou_threshold,
+                max_det=det.max_det,
+                pre_nms_top_k=det.pre_nms_top_k,
+                max_wh=det.max_wh,
+            )
+            return metrics, detections
+
+        if task == "face_recognition":
+            loss, (_, metrics) = loss_fn(params, batch_stats, batch, dummy_rng, False)
+            return metrics, None
+
+        if task == "pose_estimation":
+            loss, (_, metrics) = loss_fn(params, batch_stats, batch, dummy_rng, False)
+            # horizontal flip-test averaging
+            # (reference: training/lightning/pose_estimation/module.py:468-484)
+            hm = model.apply(variables, batch["image"], False, method="pose")
+            hm_flip = model.apply(
+                variables, jnp.flip(batch["image"], axis=2), False, method="pose"
+            )
+            hm = (hm + heatmap_ops.flip_heatmaps(hm_flip)) * 0.5
+            coords, scores = heatmap_ops.decode_heatmaps(
+                hm.astype(jnp.float32), boxes=batch["boxes"][:, 0]
+            )
+            return metrics, (coords, scores)
+
+        raise ValueError(task)
+
+    return step
