@@ -1,0 +1,83 @@
+"""Benchmark harness: face-gated pose cascade throughput on one TPU chip.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The measured config is the BASELINE.json headline: detect persons + faces at
+640^2 (YOLOv11-n x2), IR-50 embeddings on 112^2 face crops, cosine identity
+gating, ViTPose-B on the matched 256x192 person crops — all inside ONE jitted
+program on-device (see prpe_tpu/infer/cascade.py).
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md). The
+denominator used here is a documented ESTIMATE of the reference PyTorch
+pipeline on its development GPU — 25 images/sec end-to-end for the
+detect+recognize+pose cascade at batch 8 (YOLOv11-n ~1.5ms + IR-50 ~2ms +
+ViTPose-B ~25ms eager per image, plus host NMS/crop round-trips). Replace
+with a measured number when reference hardware is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_CASCADE_IMG_PER_SEC = 25.0  # documented estimate; see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from prpe_tpu.core.config import CascadeConfig, DetectionConfig, PoseConfig
+    from prpe_tpu.infer.cascade import CascadeModel, build_cascade_runner
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    batch = 8
+    image_size = 640
+    pose_capacity = 8
+    gallery_size = 32
+
+    model = CascadeModel(
+        detection=DetectionConfig(),
+        pose_cfg=PoseConfig(),
+        dtype=dtype,
+    )
+    key = jax.random.key(0)
+    img0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    face0 = jnp.zeros((1, 112, 112, 3), jnp.float32)
+    pose0 = jnp.zeros((1, 256, 192, 3), jnp.float32)
+    variables = model.init(key, img0, face0, pose0, method="init_all")
+
+    runner = build_cascade_runner(
+        model, CascadeConfig(max_persons=8, max_faces=8, match_threshold=0.3),
+        pose_capacity=pose_capacity,
+    )
+
+    images = jax.random.uniform(jax.random.key(1), (batch, image_size, image_size, 3))
+    gallery = jax.random.normal(jax.random.key(2), (gallery_size, 512))
+    gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True)
+
+    # warmup / compile
+    out = runner(variables, images, gallery)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = runner(variables, images, gallery)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "face_gated_pose_cascade_640_throughput",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / REFERENCE_CASCADE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

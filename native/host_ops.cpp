@@ -1,0 +1,143 @@
+// Native host-side image preprocessing for the prpe_tpu input pipeline.
+//
+// The reference delegates this work to albumentations/cv2/PIL Python stacks
+// (reference: training/lightning/object_detection/datamodule.py:93-100,
+// pose_estimation/datamodule.py:125-145). Here the hot per-sample path —
+// bilinear resize, letterbox padding, dtype conversion, mean/std
+// normalization, optional BGR swap — is one fused C++ pass over the pixels,
+// exposed through a C ABI consumed via ctypes (prpe_tpu/native.py).
+//
+// Semantics: standard half-pixel-center bilinear (align_corners=False),
+// matching the numpy fallback in prpe_tpu/data/image.py bit-for-bit in fp32.
+//
+// Build: g++ -O3 -shared -fPIC -o libprpe_host.so host_ops.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <cmath>
+
+extern "C" {
+
+// Bilinear resize uint8 HWC -> uint8 HWC.
+void resize_bilinear_u8(const uint8_t* src, int64_t sh, int64_t sw, int64_t c,
+                        uint8_t* dst, int64_t dh, int64_t dw) {
+  const float scale_y = static_cast<float>(sh) / dh;
+  const float scale_x = static_cast<float>(sw) / dw;
+  for (int64_t oy = 0; oy < dh; ++oy) {
+    float fy = (oy + 0.5f) * scale_y - 0.5f;
+    fy = std::min(std::max(fy, 0.0f), static_cast<float>(sh - 1));
+    const int64_t y0 = static_cast<int64_t>(fy);
+    const int64_t y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    for (int64_t ox = 0; ox < dw; ++ox) {
+      float fx = (ox + 0.5f) * scale_x - 0.5f;
+      fx = std::min(std::max(fx, 0.0f), static_cast<float>(sw - 1));
+      const int64_t x0 = static_cast<int64_t>(fx);
+      const int64_t x1 = std::min(x0 + 1, sw - 1);
+      const float wx = fx - x0;
+      const uint8_t* p00 = src + (y0 * sw + x0) * c;
+      const uint8_t* p01 = src + (y0 * sw + x1) * c;
+      const uint8_t* p10 = src + (y1 * sw + x0) * c;
+      const uint8_t* p11 = src + (y1 * sw + x1) * c;
+      uint8_t* out = dst + (oy * dw + ox) * c;
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const float top = p00[ch] + (p01[ch] - p00[ch]) * wx;
+        const float bot = p10[ch] + (p11[ch] - p10[ch]) * wx;
+        out[ch] = static_cast<uint8_t>(top + (bot - top) * wy + 0.5f);
+      }
+    }
+  }
+}
+
+// Fused: uint8 HWC -> letterbox to (size, size) -> f32 normalize.
+//   out = (pixel/255 - mean[ch]) / std[ch], channels optionally BGR-swapped.
+// Returns scale and pad offsets so annotations can be mapped.
+void letterbox_normalize_f32(const uint8_t* src, int64_t sh, int64_t sw,
+                             int64_t c, float* dst, int64_t size,
+                             const float* mean, const float* stddev,
+                             int bgr, const float* pad_value,
+                             float* out_scale, int64_t* out_top,
+                             int64_t* out_left) {
+  const float scale =
+      static_cast<float>(size) / static_cast<float>(std::max(sh, sw));
+  const int64_t nh = static_cast<int64_t>(std::lround(sh * scale));
+  const int64_t nw = static_cast<int64_t>(std::lround(sw * scale));
+  const int64_t top = (size - nh) / 2;
+  const int64_t left = (size - nw) / 2;
+  *out_scale = scale;
+  *out_top = top;
+  *out_left = left;
+
+  // fill padding (per-channel value: the reference normalizes the zero
+  // padding too, so pad = (0 - mean) / std)
+  for (int64_t i = 0; i < size * size; ++i)
+    for (int64_t ch = 0; ch < c; ++ch) dst[i * c + ch] = pad_value[ch];
+
+  const float scale_y = static_cast<float>(sh) / nh;
+  const float scale_x = static_cast<float>(sw) / nw;
+  for (int64_t oy = 0; oy < nh; ++oy) {
+    float fy = (oy + 0.5f) * scale_y - 0.5f;
+    fy = std::min(std::max(fy, 0.0f), static_cast<float>(sh - 1));
+    const int64_t y0 = static_cast<int64_t>(fy);
+    const int64_t y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    for (int64_t ox = 0; ox < nw; ++ox) {
+      float fx = (ox + 0.5f) * scale_x - 0.5f;
+      fx = std::min(std::max(fx, 0.0f), static_cast<float>(sw - 1));
+      const int64_t x0 = static_cast<int64_t>(fx);
+      const int64_t x1 = std::min(x0 + 1, sw - 1);
+      const float wx = fx - x0;
+      const uint8_t* p00 = src + (y0 * sw + x0) * c;
+      const uint8_t* p01 = src + (y0 * sw + x1) * c;
+      const uint8_t* p10 = src + (y1 * sw + x0) * c;
+      const uint8_t* p11 = src + (y1 * sw + x1) * c;
+      float* out = dst + ((top + oy) * size + (left + ox)) * c;
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const float top_v = p00[ch] + (p01[ch] - p00[ch]) * wx;
+        const float bot_v = p10[ch] + (p11[ch] - p10[ch]) * wx;
+        const float v = (top_v + (bot_v - top_v) * wy) / 255.0f;
+        const int64_t oc = bgr ? (c - 1 - ch) : ch;
+        out[oc] = (v - mean[oc]) / stddev[oc];
+      }
+    }
+  }
+}
+
+// Plain resize + normalize without letterboxing (square-stretch), used by the
+// detection/face pipelines (reference resizes without aspect preservation,
+// object_detection/datamodule.py:93-100).
+void resize_normalize_f32(const uint8_t* src, int64_t sh, int64_t sw,
+                          int64_t c, float* dst, int64_t dh, int64_t dw,
+                          const float* mean, const float* stddev, int bgr) {
+  const float scale_y = static_cast<float>(sh) / dh;
+  const float scale_x = static_cast<float>(sw) / dw;
+  for (int64_t oy = 0; oy < dh; ++oy) {
+    float fy = (oy + 0.5f) * scale_y - 0.5f;
+    fy = std::min(std::max(fy, 0.0f), static_cast<float>(sh - 1));
+    const int64_t y0 = static_cast<int64_t>(fy);
+    const int64_t y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    for (int64_t ox = 0; ox < dw; ++ox) {
+      float fx = (ox + 0.5f) * scale_x - 0.5f;
+      fx = std::min(std::max(fx, 0.0f), static_cast<float>(sw - 1));
+      const int64_t x0 = static_cast<int64_t>(fx);
+      const int64_t x1 = std::min(x0 + 1, sw - 1);
+      const float wx = fx - x0;
+      const uint8_t* p00 = src + (y0 * sw + x0) * c;
+      const uint8_t* p01 = src + (y0 * sw + x1) * c;
+      const uint8_t* p10 = src + (y1 * sw + x0) * c;
+      const uint8_t* p11 = src + (y1 * sw + x1) * c;
+      float* out = dst + (oy * dw + ox) * c;
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const float top_v = p00[ch] + (p01[ch] - p00[ch]) * wx;
+        const float bot_v = p10[ch] + (p11[ch] - p10[ch]) * wx;
+        const float v = (top_v + (bot_v - top_v) * wy) / 255.0f;
+        const int64_t oc = bgr ? (c - 1 - ch) : ch;
+        out[oc] = (v - mean[oc]) / stddev[oc];
+      }
+    }
+  }
+}
+
+}  // extern "C"

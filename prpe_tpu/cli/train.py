@@ -1,0 +1,168 @@
+"""Round-robin multi-task training CLI.
+
+Mirror of the reference entry point + flags
+(reference: training/round_robin_trainer.py:395-431): epochs, batch size, lr,
+per-task data dirs, pose sigma/threshold, resume. Tasks whose datasets are
+missing fall back to the synthetic loaders so the full loop is always
+runnable (the reference hard-fails without multi-GB downloads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+
+def build_task_loaders(args, cfg):
+    from prpe_tpu.data import pipeline, synthetic
+    from prpe_tpu.data.detection import YoloTxtDataset
+    from prpe_tpu.data.faces import IdentityFolderDataset
+    from prpe_tpu.data.pose import CocoKeypointDataset
+    from prpe_tpu.eval.map import detection_eval_hook
+
+    loaders = {}
+
+    def detection(task, root):
+        try:
+            train = YoloTxtDataset(root, "train", args.image_size, cfg.detection.max_gt, augment=True)
+            val = YoloTxtDataset(root, "val", args.image_size, cfg.detection.max_gt)
+            return {
+                "train": pipeline.make_epoch_loader(
+                    train, args.batch_size, max_samples=args.max_train_samples),
+                "val": pipeline.make_epoch_loader(
+                    val, args.batch_size, max_samples=args.max_val_samples, shuffle=False),
+                "eval_hook": detection_eval_hook(args.image_size),
+            }
+        except FileNotFoundError:
+            print(f"[{task}] dataset not found at {root}; using synthetic data")
+            return {
+                "train": synthetic.make_loader(task, batches_per_epoch=8,
+                                               batch_size=args.batch_size,
+                                               image_size=args.image_size,
+                                               max_gt=cfg.detection.max_gt),
+                "val": synthetic.make_loader(task, batches_per_epoch=2, seed=9,
+                                             batch_size=args.batch_size,
+                                             image_size=args.image_size,
+                                             max_gt=cfg.detection.max_gt),
+                "eval_hook": detection_eval_hook(args.image_size),
+            }
+
+    loaders["person_detection"] = detection("person_detection", args.person_data_dir)
+    loaders["face_detection"] = detection("face_detection", args.face_data_dir)
+
+    try:
+        ftrain = IdentityFolderDataset(args.face_rec_data_dir, "train", augment=True)
+        fval = IdentityFolderDataset(args.face_rec_data_dir, "val")
+        loaders["face_recognition"] = {
+            "train": pipeline.make_epoch_loader(ftrain, args.batch_size,
+                                                max_samples=args.max_train_samples),
+            "val": pipeline.make_epoch_loader(fval, args.batch_size,
+                                              max_samples=args.max_val_samples,
+                                              shuffle=False),
+        }
+    except (FileNotFoundError, StopIteration, OSError):
+        print(f"[face_recognition] dataset not found at {args.face_rec_data_dir}; synthetic")
+        loaders["face_recognition"] = {
+            "train": synthetic.make_loader("face_recognition", batches_per_epoch=8,
+                                           batch_size=args.batch_size,
+                                           image_size=args.image_size,
+                                           num_classes=cfg.face.num_classes),
+            "val": synthetic.make_loader("face_recognition", batches_per_epoch=2, seed=9,
+                                         batch_size=args.batch_size,
+                                         image_size=args.image_size,
+                                         num_classes=cfg.face.num_classes),
+        }
+
+    try:
+        ptrain = CocoKeypointDataset(args.pose_data_dir, "train",
+                                     image_size=args.image_size,
+                                     max_instances=cfg.pose.max_instances,
+                                     augment=True)
+        pval = CocoKeypointDataset(args.pose_data_dir, "val",
+                                   image_size=args.image_size,
+                                   max_instances=cfg.pose.max_instances)
+        from prpe_tpu.eval.pose_hook import pose_eval_hook
+
+        loaders["pose_estimation"] = {
+            "train": pipeline.make_epoch_loader(ptrain, args.batch_size,
+                                                max_samples=args.max_train_samples),
+            "val": pipeline.make_epoch_loader(pval, args.batch_size,
+                                              max_samples=args.max_val_samples,
+                                              shuffle=False),
+            "eval_hook": pose_eval_hook(args.image_size, args.keypoint_thresh),
+        }
+    except (FileNotFoundError, OSError):
+        print(f"[pose_estimation] dataset not found at {args.pose_data_dir}; synthetic")
+        loaders["pose_estimation"] = {
+            "train": synthetic.make_loader("pose_estimation", batches_per_epoch=8,
+                                           batch_size=args.batch_size,
+                                           image_size=args.image_size,
+                                           max_instances=cfg.pose.max_instances),
+        }
+    return loaders
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--learning-rate", type=float, default=1e-3)
+    ap.add_argument("--image-size", type=int, default=640)
+    ap.add_argument("--person-data-dir", default="dataset_folders/coco_person")
+    ap.add_argument("--face-data-dir", default="dataset_folders/yolo_face")
+    ap.add_argument("--face-rec-data-dir", default="dataset_folders/ms1mv2")
+    ap.add_argument("--pose-data-dir", default="dataset_folders/coco")
+    ap.add_argument("--max-train-samples", type=int, default=2500)
+    ap.add_argument("--max-val-samples", type=int, default=400)
+    ap.add_argument("--pose-sigma", type=float, default=2.0)
+    ap.add_argument("--keypoint-thresh", type=float, default=0.3)
+    ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--resume-checkpoint", default=None)
+    ap.add_argument("--component-dir", default="component_models")
+    ap.add_argument("--log-dir", default="runs")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from prpe_tpu.cli.build_model import build_variables
+    from prpe_tpu.core.config import (
+        CombinedModelConfig, OptimConfig, PoseConfig, TaskConfig, TrainConfig,
+        default_task_configs,
+    )
+    from prpe_tpu.train.round_robin import RoundRobinTrainer
+
+    cfg = CombinedModelConfig(
+        image_size=args.image_size,
+        pose=dataclasses.replace(
+            PoseConfig(), sigma=args.pose_sigma, keypoint_thresh=args.keypoint_thresh
+        ),
+    )
+    model, variables = build_variables(pathlib.Path(args.component_dir), cfg)
+
+    tasks = tuple(
+        dataclasses.replace(
+            t, optim=OptimConfig(learning_rate=args.learning_rate)
+        )
+        for t in default_task_configs()
+    )
+    tcfg = TrainConfig(
+        total_epochs=args.epochs, seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir, tasks=tasks,
+    )
+
+    loaders = build_task_loaders(args, cfg)
+    variables = {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in variables.items()}
+    trainer = RoundRobinTrainer(model, cfg, tcfg, variables, loaders, log_dir=args.log_dir)
+    if args.resume_checkpoint:
+        trainer.resume(args.resume_checkpoint)
+    trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

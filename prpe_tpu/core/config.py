@@ -119,6 +119,8 @@ class CombinedModelConfig:
     (reference: training/modify_models.py:462-534)."""
 
     backbone_channels: int = 2048
+    # ResNet bottleneck counts per stage; (3, 4, 6, 3) == ResNet-50
+    backbone_stages: Tuple[int, int, int, int] = (3, 4, 6, 3)
     image_size: int = 640
     detection: DetectionConfig = field(default_factory=DetectionConfig)
     face: AdaFaceConfig = field(default_factory=AdaFaceConfig)
@@ -163,6 +165,8 @@ class TaskConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
     monitor: str = "val_loss"  # metric used for best-checkpoint selection
     monitor_mode: str = "min"
+    # optional W&B project, one per task (reference: round_robin_trainer.py:464,485,509,532)
+    wandb_project: Optional[str] = None
 
 
 @dataclass(frozen=True)

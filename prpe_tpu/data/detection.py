@@ -21,7 +21,11 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from prpe_tpu.data.image import load_image, resize_image
+from prpe_tpu import native
+from prpe_tpu.data.image import load_image
+
+_ZERO = np.zeros(3, np.float32)
+_ONE = np.ones(3, np.float32)
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
@@ -81,16 +85,11 @@ class YoloTxtDataset:
         self._labels[idx] = arr
         return arr
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        img = load_image(self.files[idx])
-        img = resize_image(img, (self.image_size, self.image_size))
-        labels = self._load_labels(idx).copy()
+    def raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(uint8 HWC image, (N, 5) normalized labels) — for mosaic/mixup."""
+        return load_image(self.files[idx]), self._load_labels(idx)
 
-        if self.augment and self._rng.random() < 0.5:
-            img = img[:, ::-1].copy()
-            if labels.size:
-                labels[:, 1] = 1.0 - labels[:, 1]
-
+    def pack(self, img_f32: np.ndarray, labels: np.ndarray) -> Dict[str, np.ndarray]:
         gt_labels = np.zeros((self.max_gt,), np.int32)
         gt_boxes = np.zeros((self.max_gt, 4), np.float32)
         gt_mask = np.zeros((self.max_gt,), bool)
@@ -99,9 +98,76 @@ class YoloTxtDataset:
             gt_labels[:n] = labels[:n, 0].astype(np.int32)
             gt_boxes[:n] = labels[:n, 1:5]
             gt_mask[:n] = True
-        return {
-            "image": (img.astype(np.float32) / 255.0),
-            "gt_labels": gt_labels,
-            "gt_boxes": gt_boxes,
-            "gt_mask": gt_mask,
-        }
+        return {"image": img_f32, "gt_labels": gt_labels,
+                "gt_boxes": gt_boxes, "gt_mask": gt_mask}
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        raw = load_image(self.files[idx])
+        # fused native resize + /255 (reference: datamodule.py:93-100)
+        img = native.resize_normalize(
+            raw, self.image_size, self.image_size, _ZERO, _ONE
+        )
+        labels = self._load_labels(idx).copy()
+
+        if self.augment and self._rng.random() < 0.5:
+            img = np.ascontiguousarray(img[:, ::-1])
+            if labels.size:
+                labels[:, 1] = 1.0 - labels[:, 1]
+
+        return self.pack(img, labels)
+
+
+class YoloMosaicDataset:
+    """Mosaic-4 + MixUp + HSV augmented view of a YoloTxtDataset — the
+    standalone YOLO trainer's train-time pipeline
+    (reference: training/yolopt/dataset.py:59-103 __getitem__ flow).
+
+    ``mosaic_prob`` can be set to 0 to disable (the reference disables mosaic
+    for the final 10 epochs, training/yolopt/main.py:76-78).
+    """
+
+    def __init__(self, base: YoloTxtDataset, mosaic_prob: float = 1.0,
+                 mixup_prob: float = 0.15, hsv: bool = True, seed: int = 0):
+        self.base = base
+        self.mosaic_prob = mosaic_prob
+        self.mixup_prob = mixup_prob
+        self.hsv = hsv
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.base)
+
+    def set_mosaic(self, prob: float):
+        self.mosaic_prob = prob
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from prpe_tpu.data.augment import hsv_augment, mixup, mosaic4
+
+        rng = self._rng
+        size = self.base.image_size
+
+        def one(i):
+            img, lab = self.base.raw(i)
+            if self.hsv:
+                img = hsv_augment(img, rng)
+            return img, lab
+
+        if rng.random() < self.mosaic_prob:
+            idxs = [idx] + list(rng.integers(0, len(self.base), 3))
+            img, labels = mosaic4([one(i) for i in idxs], size, rng)
+            if rng.random() < self.mixup_prob:
+                idxs2 = list(rng.integers(0, len(self.base), 4))
+                img2, labels2 = mosaic4([one(i) for i in idxs2], size, rng)
+                img, labels = mixup(img, labels, img2, labels2, rng)
+        else:
+            img, labels = one(idx)
+            from prpe_tpu.native import resize_bilinear_u8
+
+            img = resize_bilinear_u8(img, size, size)
+        if rng.random() < 0.5:
+            img = np.ascontiguousarray(img[:, ::-1])
+            if labels.size:
+                labels = labels.copy()
+                labels[:, 1] = 1.0 - labels[:, 1]
+        labels = sanitize_boxes(labels.reshape(-1, 5))
+        return self.base.pack(img.astype(np.float32) / 255.0, labels)

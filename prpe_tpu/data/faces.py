@@ -17,7 +17,10 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from prpe_tpu.data.image import load_image, resize_image
+from prpe_tpu import native
+from prpe_tpu.data.image import load_image
+
+_HALF = np.full(3, 0.5, np.float32)
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
@@ -63,11 +66,11 @@ class IdentityFolderDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         path, label = self.samples[i]
         img = load_image(path)
-        img = resize_image(img, (self.image_size, self.image_size))
         if self.augment and self._rng.random() < 0.5:
-            img = img[:, ::-1]
-        x = img.astype(np.float32) / 255.0
-        x = (x - 0.5) / 0.5
-        if self.bgr:
-            x = x[..., ::-1]
-        return {"image": np.ascontiguousarray(x), "label": np.int32(label)}
+            img = np.ascontiguousarray(img[:, ::-1])
+        # fused native resize + mean/std 0.5 + BGR swap
+        # (reference: face_recognition/datamodule.py:103-104)
+        x = native.resize_normalize(
+            img, self.image_size, self.image_size, _HALF, _HALF, bgr=self.bgr
+        )
+        return {"image": x, "label": np.int32(label)}

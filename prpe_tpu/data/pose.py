@@ -26,7 +26,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from prpe_tpu.data.image import letterbox, load_image, normalize_imagenet
+from prpe_tpu import native
+from prpe_tpu.data.image import IMAGENET_MEAN, IMAGENET_STD, load_image
 
 NUM_KEYPOINTS = 17
 
@@ -83,8 +84,11 @@ class CocoKeypointDataset:
         img_path = self.image_dir / info["file_name"]
         img = load_image(img_path)
         h0, w0 = img.shape[:2]
-        img, scale, (top, left) = letterbox(img, self.image_size)
-        x = normalize_imagenet(img)
+        # fused native letterbox + ImageNet normalize
+        # (reference: pose_estimation/datamodule.py:125-145)
+        x, scale, (top, left) = native.letterbox_normalize(
+            img, self.image_size, IMAGENET_MEAN, IMAGENET_STD
+        )
 
         n_max = self.max_instances
         kpts = np.zeros((n_max, NUM_KEYPOINTS, 3), np.float32)

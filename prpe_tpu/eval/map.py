@@ -1,0 +1,184 @@
+"""Detection evaluation: PR curves, AP@[.5:.95], precision/recall/F1.
+
+Host-side numpy re-derivations of:
+  * per-image TP matrix over the 10 COCO IoU thresholds
+    (reference: training/yolopt/util.py:99-120)
+  * 101-point interpolated AP + F1-max operating point
+    (reference: training/yolopt/util.py:225-300)
+  * the simpler mAP50/75/50-95 aggregation used by the Lightning modules
+    (reference: training/lightning/face_detection/module_v2.py:13-127)
+
+These run on accumulated (device -> host) fixed-shape detection buffers after
+the jitted eval loop; the O(N log N) sort/interp work is tiny next to the
+model forward.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
+
+
+def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(a[:, 2:] - a[:, :2], axis=1)
+    area_b = np.prod(b[:, 2:] - b[:, :2], axis=1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-7)
+
+
+def match_detections(
+    det_boxes: np.ndarray,
+    det_classes: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_classes: np.ndarray,
+    iou_thresholds: np.ndarray = IOU_THRESHOLDS,
+) -> np.ndarray:
+    """Greedy unique matching -> TP matrix (n_det, n_thresh).
+
+    Detections must be score-descending. Each gt matches at most one
+    detection per threshold (highest IoU wins), classes must agree.
+    """
+    n_det = len(det_boxes)
+    correct = np.zeros((n_det, len(iou_thresholds)), bool)
+    if n_det == 0 or len(gt_boxes) == 0:
+        return correct
+    iou = box_iou_matrix(gt_boxes, det_boxes)  # (n_gt, n_det)
+    cls_ok = gt_classes[:, None] == det_classes[None, :]
+    iou = np.where(cls_ok, iou, 0.0)
+    for t, thr in enumerate(iou_thresholds):
+        cand = np.argwhere(iou >= thr)  # (pairs, 2) [gt, det]
+        if len(cand) == 0:
+            continue
+        vals = iou[cand[:, 0], cand[:, 1]]
+        order = vals.argsort()[::-1]
+        cand = cand[order]
+        used_gt, used_det = set(), set()
+        for g, d in cand:
+            if g in used_gt or d in used_det:
+                continue
+            used_gt.add(g)
+            used_det.add(d)
+            correct[d, t] = True
+    return correct
+
+
+def compute_ap(
+    tp: np.ndarray,
+    conf: np.ndarray,
+    pred_cls: np.ndarray,
+    target_cls: np.ndarray,
+    eps: float = 1e-16,
+) -> Dict[str, float]:
+    """PR-curve AP with 101-point COCO interpolation and an F1-max operating
+    point (reference: training/yolopt/util.py:225-300 semantics).
+
+    Args:
+      tp: (N, T) TP matrix from :func:`match_detections` across all images.
+      conf: (N,) scores; pred_cls: (N,) classes; target_cls: all gt classes.
+
+    Returns dict with precision, recall, f1, mAP50, mAP75, mAP50-95.
+    """
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    classes, counts = np.unique(target_cls, return_counts=True)
+
+    if len(tp) == 0 or len(classes) == 0:
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0,
+                "mAP50": 0.0, "mAP75": 0.0, "mAP50-95": 0.0}
+
+    px = np.linspace(0, 1, 1000)
+    n_t = tp.shape[1]
+    ap = np.zeros((len(classes), n_t))
+    p_curve = np.zeros((len(classes), 1000))
+    r_curve = np.zeros((len(classes), 1000))
+
+    for ci, c in enumerate(classes):
+        sel = pred_cls == c
+        n_gt = counts[ci]
+        if sel.sum() == 0 or n_gt == 0:
+            continue
+        fpc = (1 - tp[sel]).cumsum(0)
+        tpc = tp[sel].cumsum(0)
+        recall = tpc / (n_gt + eps)
+        precision = tpc / (tpc + fpc)
+        r_curve[ci] = np.interp(-px, -conf[sel], recall[:, 0], left=0)
+        p_curve[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
+        for t in range(n_t):
+            m_rec = np.concatenate(([0.0], recall[:, t], [1.0]))
+            m_pre = np.concatenate(([1.0], precision[:, t], [0.0]))
+            m_pre = np.flip(np.maximum.accumulate(np.flip(m_pre)))
+            x = np.linspace(0, 1, 101)
+            ap[ci, t] = np.trapezoid(np.interp(x, m_rec, m_pre), x)
+
+    f1 = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    i = f1.mean(0).argmax()
+    return {
+        "precision": float(p_curve[:, i].mean()),
+        "recall": float(r_curve[:, i].mean()),
+        "f1": float(f1[:, i].mean()),
+        "mAP50": float(ap[:, 0].mean()),
+        "mAP75": float(ap[:, min(5, n_t - 1)].mean()),
+        "mAP50-95": float(ap.mean()),
+    }
+
+
+def evaluate_detections(
+    per_image: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+) -> Dict[str, float]:
+    """End-to-end detection metrics from per-image
+    (det_boxes, det_scores, det_classes, gt_boxes, gt_classes) tuples
+    (detections score-sorted, already NMS'd and validity-filtered)."""
+    all_tp, all_conf, all_cls, all_gt_cls = [], [], [], []
+    for det_boxes, det_scores, det_classes, gt_boxes, gt_classes in per_image:
+        tp = match_detections(det_boxes, det_classes, gt_boxes, gt_classes)
+        all_tp.append(tp)
+        all_conf.append(det_scores)
+        all_cls.append(det_classes)
+        all_gt_cls.append(gt_classes)
+    if not all_tp:
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0,
+                "mAP50": 0.0, "mAP75": 0.0, "mAP50-95": 0.0}
+    return compute_ap(
+        np.concatenate(all_tp),
+        np.concatenate(all_conf),
+        np.concatenate(all_cls),
+        np.concatenate(all_gt_cls) if all_gt_cls else np.zeros(0),
+    )
+
+
+def detection_eval_hook(model_image_size: int):
+    """Builds the round-robin ``eval_hook`` that turns accumulated
+    (Detections, batch) pairs into mAP metrics."""
+
+    def hook(outputs) -> Dict[str, float]:
+        per_image = []
+        for det, batch in outputs:
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            classes = np.asarray(det.classes)
+            valid = np.asarray(det.valid)
+            gt_boxes_n = np.asarray(batch["gt_boxes"])  # cxcywh normalized
+            gt_mask = np.asarray(batch["gt_mask"])
+            gt_labels = np.asarray(batch["gt_labels"])
+            for b in range(boxes.shape[0]):
+                v = valid[b]
+                g = gt_mask[b]
+                gb = gt_boxes_n[b][g] * model_image_size
+                gt_xyxy = np.concatenate(
+                    [gb[:, :2] - gb[:, 2:] / 2, gb[:, :2] + gb[:, 2:] / 2], -1
+                )
+                per_image.append(
+                    (boxes[b][v], scores[b][v], classes[b][v], gt_xyxy, gt_labels[b][g])
+                )
+        return evaluate_detections(per_image)
+
+    return hook

@@ -1,0 +1,166 @@
+"""ctypes bindings for the native host-preprocessing library.
+
+Builds ``native/libprpe_host.so`` on first use (g++ is in the image) and
+exposes the fused resize/letterbox/normalize kernels. Every entry point has a
+pure-numpy fallback with identical semantics, so the package works without a
+toolchain; the native path exists because host-side image prep is the one
+part of the pipeline the TPU cannot accelerate.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "native" / "host_ops.cpp"
+_LIB_PATH = _ROOT / "native" / "libprpe_host.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i64 = ctypes.c_int64
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and _SRC.exists():
+            _build()
+        if _LIB_PATH.exists():
+            try:
+                lib = ctypes.CDLL(str(_LIB_PATH))
+                lib.resize_bilinear_u8.argtypes = [_u8p, _i64, _i64, _i64, _u8p, _i64, _i64]
+                lib.letterbox_normalize_f32.argtypes = [
+                    _u8p, _i64, _i64, _i64, _f32p, _i64, _f32p, _f32p,
+                    ctypes.c_int, _f32p, _f32p, _i64p, _i64p,
+                ]
+                lib.resize_normalize_f32.argtypes = [
+                    _u8p, _i64, _i64, _i64, _f32p, _i64, _i64, _f32p, _f32p,
+                    ctypes.c_int,
+                ]
+                _lib = lib
+            except OSError:
+                _lib = None
+        return _lib
+
+
+def _as_u8p(a: np.ndarray):
+    return a.ctypes.data_as(_u8p)
+
+
+def _as_f32p(a: np.ndarray):
+    return a.ctypes.data_as(_f32p)
+
+
+# --------------------------------------------------------------------------
+# numpy fallbacks (identical half-pixel bilinear semantics)
+# --------------------------------------------------------------------------
+
+def _np_bilinear(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    sh, sw = src.shape[:2]
+    fy = np.clip((np.arange(dh) + 0.5) * (sh / dh) - 0.5, 0, sh - 1)
+    fx = np.clip((np.arange(dw) + 0.5) * (sw / dw) - 0.5, 0, sw - 1)
+    y0 = fy.astype(np.int64); y1 = np.minimum(y0 + 1, sh - 1)
+    x0 = fx.astype(np.int64); x1 = np.minimum(x0 + 1, sw - 1)
+    wy = (fy - y0)[:, None, None].astype(np.float32)
+    wx = (fx - x0)[None, :, None].astype(np.float32)
+    s = src.astype(np.float32)
+    top = s[y0][:, x0] * (1 - wx) + s[y0][:, x1] * wx
+    bot = s[y1][:, x0] * (1 - wx) + s[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_bilinear_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """uint8 HWC resize, half-pixel bilinear."""
+    src = np.ascontiguousarray(src)
+    lib = get_lib()
+    if lib is not None:
+        dst = np.empty((dh, dw, src.shape[2]), np.uint8)
+        lib.resize_bilinear_u8(_as_u8p(src), src.shape[0], src.shape[1],
+                               src.shape[2], _as_u8p(dst), dh, dw)
+        return dst
+    return np.clip(_np_bilinear(src, dh, dw) + 0.5, 0, 255).astype(np.uint8)
+
+
+def resize_normalize(
+    src: np.ndarray, dh: int, dw: int,
+    mean: np.ndarray, std: np.ndarray, bgr: bool = False,
+) -> np.ndarray:
+    """uint8 HWC -> resized, /255, (x - mean)/std fp32; optional BGR swap."""
+    src = np.ascontiguousarray(src)
+    c = src.shape[2]
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        dst = np.empty((dh, dw, c), np.float32)
+        lib.resize_normalize_f32(_as_u8p(src), src.shape[0], src.shape[1], c,
+                                 _as_f32p(dst), dh, dw, _as_f32p(mean),
+                                 _as_f32p(std), int(bgr))
+        return dst
+    x = _np_bilinear(src, dh, dw) / 255.0
+    if bgr:
+        x = x[..., ::-1]
+    return ((x - mean) / std).astype(np.float32)
+
+
+def letterbox_normalize(
+    src: np.ndarray, size: int,
+    mean: np.ndarray, std: np.ndarray,
+    bgr: bool = False,
+) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """uint8 HWC -> (size, size) letterboxed normalized fp32.
+
+    Padding is normalized zero, i.e. (0 - mean) / std per channel (the
+    reference normalizes after padding). Returns (image, scale, (top, left)).
+    """
+    src = np.ascontiguousarray(src)
+    c = src.shape[2]
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    pad = np.ascontiguousarray((0.0 - mean) / std, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        dst = np.empty((size, size, c), np.float32)
+        scale = ctypes.c_float()
+        top = _i64(0); left = _i64(0)
+        lib.letterbox_normalize_f32(
+            _as_u8p(src), src.shape[0], src.shape[1], c, _as_f32p(dst), size,
+            _as_f32p(mean), _as_f32p(std), int(bgr), _as_f32p(pad),
+            ctypes.byref(scale), ctypes.byref(top), ctypes.byref(left),
+        )
+        return dst, float(scale.value), (int(top.value), int(left.value))
+    sh, sw = src.shape[:2]
+    scale = size / max(sh, sw)
+    nh, nw = int(round(sh * scale)), int(round(sw * scale))
+    resized = _np_bilinear(src, nh, nw) / 255.0
+    if bgr:
+        resized = resized[..., ::-1]
+    resized = ((resized - mean) / std).astype(np.float32)
+    out = np.broadcast_to(pad, (size, size, c)).copy()
+    t, l = (size - nh) // 2, (size - nw) // 2
+    out[t : t + nh, l : l + nw] = resized
+    return out, scale, (t, l)

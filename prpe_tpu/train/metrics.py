@@ -72,6 +72,36 @@ def setup_logging(log_dir: Optional[str] = None, name: str = "prpe_tpu") -> logg
     return logger
 
 
+class WandbSink:
+    """Optional Weights & Biases logging, one project per task
+    (reference: training/round_robin_trainer.py:141-147,292). No-ops when
+    wandb is unavailable or offline."""
+
+    def __init__(self, project: str, run_name: Optional[str] = None, config=None):
+        self._run = None
+        try:
+            import wandb  # type: ignore
+
+            self._run = wandb.init(project=project, name=run_name, config=config,
+                                   reinit=True)
+        except Exception:
+            self._run = None
+
+    def log(self, metrics: Dict[str, float], step: Optional[int] = None):
+        if self._run is not None:
+            try:
+                self._run.log(metrics, step=step)
+            except Exception:
+                pass
+
+    def finish(self):
+        if self._run is not None:
+            try:
+                self._run.finish()
+            except Exception:
+                pass
+
+
 class MetricsLogger:
     """Sectioned metrics file + CSV history."""
 

@@ -28,7 +28,7 @@ import numpy as np
 
 from prpe_tpu.core.config import CombinedModelConfig, TaskConfig, TrainConfig
 from prpe_tpu.train.checkpoint import CheckpointManager
-from prpe_tpu.train.metrics import MetricsLogger, MetricTracker, setup_logging
+from prpe_tpu.train.metrics import MetricsLogger, MetricTracker, WandbSink, setup_logging
 from prpe_tpu.train.optim import build_optimizer
 from prpe_tpu.train.state import TrainState, create_train_state
 from prpe_tpu.train.steps import make_eval_step, make_train_step
@@ -96,6 +96,10 @@ class RoundRobinTrainer:
                 val_loader=loaders.get("val"),
                 eval_hook=loaders.get("eval_hook"),
             )
+        self.wandb = {
+            t.name: WandbSink(t.wandb_project, run_name=f"round_robin_{t.name}")
+            for t in tasks if t.wandb_project
+        }
         self.start_epoch = 0
         self._rng = jax.random.key(train_cfg.seed)
 
@@ -160,6 +164,8 @@ class RoundRobinTrainer:
                 metrics = self.train_task_epoch(epoch, name)
                 metrics.update(self.eval_task(epoch, name))
                 self.metrics_logger.log_epoch(epoch, name, metrics)
+                if name in self.wandb:
+                    self.wandb[name].log(metrics, step=epoch)
                 history.append({"epoch": epoch, "task": name, **metrics})
 
                 mon = rt.config.monitor
@@ -180,4 +186,6 @@ class RoundRobinTrainer:
                     "epoch %d | task %s | %s", epoch, name,
                     {k: round(float(v), 5) for k, v in metrics.items()},
                 )
+        for sink in self.wandb.values():
+            sink.finish()
         return {"history": history, "state": self.state}

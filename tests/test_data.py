@@ -1,0 +1,179 @@
+"""Data-layer tests: loaders, sanitation, samplers, converters."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from prpe_tpu.data import synthetic
+from prpe_tpu.data.detection import YoloTxtDataset, sanitize_boxes
+from prpe_tpu.data.faces import IdentityFolderDataset
+from prpe_tpu.data.pipeline import LimitedSampler, default_collate, make_epoch_loader
+from prpe_tpu.data.pose import CocoKeypointDataset
+
+
+def _write_img(path, h=32, w=32, value=128):
+    from PIL import Image
+
+    arr = np.full((h, w, 3), value, np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+# --------------------------------------------------------------------------
+
+def test_sanitize_boxes():
+    boxes = np.array([
+        [0, 0.5, 0.5, 0.2, 0.2],     # fine
+        [0, 0.01, 0.5, 0.3, 0.3],    # center clamped inward
+        [0, 0.5, 0.5, 0.005, 0.2],   # too thin -> dropped
+    ], np.float32)
+    out = sanitize_boxes(boxes)
+    assert len(out) == 2
+    assert out[1, 1] >= out[1, 3] / 2  # center inside after clamp
+
+
+def test_yolo_txt_dataset(tmp_path):
+    root = tmp_path / "det"
+    for i in range(3):
+        _write_img(root / "images" / "train" / f"{i}.jpg")
+    (root / "labels" / "train").mkdir(parents=True)
+    (root / "labels" / "train" / "0.txt").write_text("0 0.5 0.5 0.2 0.3\n")
+    ds = YoloTxtDataset(str(root), "train", image_size=64, max_gt=4)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["gt_mask"].sum() == 1
+    np.testing.assert_allclose(s["gt_boxes"][0], [0.5, 0.5, 0.2, 0.3])
+    assert ds[1]["gt_mask"].sum() == 0  # no label file
+
+
+def test_identity_folder_dataset(tmp_path):
+    root = tmp_path / "faces" / "imgs"
+    for ident in ("a", "b"):
+        for j in range(10):
+            _write_img(root / ident / f"{j}.jpg", value=60 if ident == "a" else 200)
+    train = IdentityFolderDataset(str(tmp_path / "faces"), "train")
+    val = IdentityFolderDataset(str(tmp_path / "faces"), "val")
+    assert train.num_classes == 2
+    assert len(train) + len(val) == 20 and len(val) == 2
+    s = train[0]
+    assert s["image"].shape == (112, 112, 3)
+    assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
+
+
+def test_coco_keypoint_dataset(tmp_path):
+    root = tmp_path / "coco"
+    _write_img(root / "images" / "val" / "img1.jpg", h=48, w=64)
+    kp = []
+    for i in range(17):
+        kp += [10.0 + i, 20.0, 2]
+    ann = {
+        "categories": [{"id": 1, "name": "person"}],
+        "images": [{"id": 7, "file_name": "img1.jpg", "width": 64, "height": 48}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 1, "keypoints": kp,
+             "num_keypoints": 17, "iscrowd": 0, "area": 400.0,
+             "bbox": [8, 15, 30, 20]},
+            {"id": 2, "image_id": 7, "category_id": 1, "keypoints": [0] * 51,
+             "num_keypoints": 0, "iscrowd": 0, "area": 10.0, "bbox": [0, 0, 5, 5]},
+        ],
+    }
+    ann_path = root / "annotations"
+    ann_path.mkdir(parents=True)
+    (ann_path / "person_keypoints_val2017.json").write_text(json.dumps(ann))
+
+    ds = CocoKeypointDataset(str(root), "val", image_size=64, max_instances=4)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["mask"].sum() == 1  # 0-keypoint annotation filtered
+    assert s["keypoints"][0, :, 2].max() == 2
+    # normalized coords in [0, 1]
+    assert 0 <= s["keypoints"][0, :, :2].min() and s["keypoints"][0, :, :2].max() <= 1
+
+
+def test_limited_sampler_epochs_differ():
+    s = LimitedSampler(100, max_samples=10, shard_index=0, shard_count=1)
+    a, b = s.indices(0), s.indices(1)
+    assert len(a) == 10
+    assert not np.array_equal(a, b)
+
+
+def test_limited_sampler_sharding():
+    shards = [
+        LimitedSampler(100, max_samples=40, shard_index=i, shard_count=4, shuffle=False)
+        for i in range(4)
+    ]
+    all_idx = np.concatenate([s.indices(0) for s in shards])
+    assert len(np.unique(all_idx)) == 40  # disjoint cover
+
+
+def test_make_epoch_loader_batches(tmp_path):
+    root = tmp_path / "det"
+    for i in range(5):
+        _write_img(root / "images" / "train" / f"{i}.jpg")
+    (root / "labels" / "train").mkdir(parents=True)
+    ds = YoloTxtDataset(str(root), "train", image_size=32, max_gt=2)
+    loader = make_epoch_loader(ds, batch_size=2, prefetch=0)
+    batches = list(loader(0))
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["image"].shape == (2, 32, 32, 3)
+
+
+def test_convert_coco_roundtrip(tmp_path):
+    from prpe_tpu.cli.convert_coco import convert
+
+    ann = {
+        "categories": [{"id": 1, "name": "person"}, {"id": 2, "name": "dog"}],
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 100, "height": 200}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 20, 30, 40], "iscrowd": 0},
+            {"image_id": 1, "category_id": 2, "bbox": [0, 0, 10, 10], "iscrowd": 0},
+        ],
+    }
+    f = tmp_path / "ann.json"
+    f.write_text(json.dumps(ann))
+    out = tmp_path / "labels"
+    convert(f, out, "person")
+    rows = (out / "x.txt").read_text().strip().splitlines()
+    assert len(rows) == 1
+    vals = [float(v) for v in rows[0].split()]
+    np.testing.assert_allclose(vals, [0, 0.25, 0.2, 0.3, 0.2], atol=1e-5)
+
+
+def test_ms1m_recordio_roundtrip(tmp_path):
+    """Write a record in the documented MXNet RecordIO format, read it back."""
+    import struct
+
+    from prpe_tpu.cli.convert_ms1m import convert_rec
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    def record(label, payload):
+        header = struct.pack("<If", 0, label) + struct.pack("<QQ", 0, 0)
+        data = header + payload
+        out = struct.pack("<II", 0xCED7230A, len(data)) + data
+        return out + b"\x00" * ((4 - len(data) % 4) % 4)
+
+    rec = tmp_path / "train.rec"
+    rec.write_bytes(record(3.0, jpeg) + record(3.0, jpeg) + record(5.0, jpeg))
+    out = tmp_path / "imgs"
+    convert_rec(rec, out)
+    assert sorted(p.name for p in out.iterdir()) == ["3", "5"]
+    assert len(list((out / "3").iterdir())) == 2
+
+
+def test_synthetic_schemas():
+    rng = np.random.default_rng(0)
+    d = synthetic.detection_batch(rng, 2, 64, 4)
+    assert d["gt_boxes"].shape == (2, 4, 4) and d["gt_mask"].any()
+    f = synthetic.face_batch(rng, 3, 64, 8)
+    assert f["label"].shape == (3,)
+    p = synthetic.pose_batch(rng, 2, 64, 3)
+    assert p["keypoints"].shape == (2, 3, 17, 3) and p["mask"].any()

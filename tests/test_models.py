@@ -19,6 +19,7 @@ def tiny_config():
     """Small-but-structurally-complete config for CPU tests."""
     return CombinedModelConfig(
         image_size=128,
+        backbone_stages=(1, 1, 1, 1),
         detection=DetectionConfig(adapter_size=(64, 64), pre_nms_top_k=64),
         face=AdaFaceConfig(arch="ir_18", num_classes=32),
         pose=PoseConfig(

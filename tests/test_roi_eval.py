@@ -1,0 +1,132 @@
+"""ROI crop + host-side eval metric tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from prpe_tpu.eval import keypoint_eval, verification
+from prpe_tpu.eval.map import evaluate_detections, match_detections
+from prpe_tpu.ops.roi import crop_and_resize, crop_and_resize_batch
+
+
+# --------------------------------------------------------------------------
+# ROI
+# --------------------------------------------------------------------------
+
+def test_crop_identity():
+    """Cropping the full image at the same resolution is (nearly) identity."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    box = np.array([[0.0, 0.0, 16.0, 16.0]], np.float32)
+    out = np.asarray(crop_and_resize(jnp.asarray(img), jnp.asarray(box), (16, 16)))
+    np.testing.assert_allclose(out[0], img, atol=1e-5)
+
+
+def test_crop_subregion_constant():
+    img = np.zeros((32, 32, 1), np.float32)
+    img[8:16, 8:16] = 1.0
+    box = np.array([[8.0, 8.0, 16.0, 16.0]], np.float32)
+    out = np.asarray(crop_and_resize(jnp.asarray(img), jnp.asarray(box), (4, 4)))
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-4)
+
+
+def test_crop_batch_indexing():
+    imgs = np.stack([np.full((8, 8, 1), i, np.float32) for i in range(3)])
+    boxes = np.array([[0, 0, 8, 8]] * 3, np.float32)
+    idx = np.array([2, 0, 1])
+    out = np.asarray(crop_and_resize_batch(jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(idx), (2, 2)))
+    np.testing.assert_allclose(out[:, 0, 0, 0], [2, 0, 1])
+
+
+# --------------------------------------------------------------------------
+# detection mAP
+# --------------------------------------------------------------------------
+
+def test_perfect_detections_map_one():
+    gt = np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32)
+    cls = np.zeros(2)
+    per_image = [(gt.copy(), np.array([0.9, 0.8]), cls, gt, cls)]
+    m = evaluate_detections(per_image)
+    assert m["mAP50"] > 0.99
+    assert m["mAP50-95"] > 0.99
+
+
+def test_false_positive_lowers_precision():
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    det = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+    per_image = [(det, np.array([0.9, 0.8]), np.zeros(2), gt, np.zeros(1))]
+    m = evaluate_detections(per_image)
+    assert m["mAP50"] > 0.9  # TP ranked first -> AP still high
+    good = evaluate_detections([(gt, np.array([0.9]), np.zeros(1), gt, np.zeros(1))])
+    assert m["precision"] <= good["precision"] + 1e-6
+
+
+def test_match_unique_per_gt():
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    det = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
+    tp = match_detections(det, np.zeros(2), gt, np.zeros(1))
+    # only one detection may match the single gt
+    assert tp[:, 0].sum() == 1
+
+
+# --------------------------------------------------------------------------
+# keypoint OKS AP
+# --------------------------------------------------------------------------
+
+def make_kpt(xy, v=2):
+    k = np.zeros((17, 3), np.float32)
+    k[:, 0] = xy[:, 0]
+    k[:, 1] = xy[:, 1]
+    k[:, 2] = v
+    return k
+
+
+def test_keypoint_eval_perfect():
+    rng = np.random.default_rng(0)
+    anns, preds = [], []
+    for img in range(3):
+        xy = rng.uniform(100, 300, size=(17, 2)).astype(np.float32)
+        k = make_kpt(xy)
+        anns.append({"image_id": img, "keypoints": k.reshape(-1).tolist(),
+                     "area": 150.0**2, "num_keypoints": 17})
+        preds.append({"image_id": img, "keypoints": k.reshape(-1).tolist(),
+                      "score": 0.9})
+    m = keypoint_eval.evaluate_keypoints(preds, anns)
+    assert m["AP"] > 0.99 and m["AR"] > 0.99
+    assert m["AP50"] > 0.99 and m["AP75"] > 0.99
+
+
+def test_keypoint_eval_bad_predictions():
+    rng = np.random.default_rng(0)
+    anns, preds = [], []
+    for img in range(3):
+        xy = rng.uniform(100, 200, size=(17, 2)).astype(np.float32)
+        anns.append({"image_id": img, "keypoints": make_kpt(xy).reshape(-1).tolist(),
+                     "area": 50.0**2, "num_keypoints": 17})
+        preds.append({"image_id": img,
+                      "keypoints": make_kpt(xy + 500).reshape(-1).tolist(),
+                      "score": 0.9})
+    m = keypoint_eval.evaluate_keypoints(preds, anns)
+    assert m["AP"] < 0.05
+
+
+def test_oks_identity():
+    xy = np.tile(np.array([[100.0, 100.0]]), (17, 1)).astype(np.float32)
+    k = make_kpt(xy)
+    assert keypoint_eval.compute_oks(k, k, 100.0) > 0.999
+
+
+# --------------------------------------------------------------------------
+# verification
+# --------------------------------------------------------------------------
+
+def test_verification_separable(rng):
+    d = 64
+    base = rng.normal(size=(100, d))
+    same_b = base + rng.normal(0, 0.05, size=base.shape)
+    diff_b = rng.normal(size=(100, d))
+    emb_a = np.concatenate([base, base])
+    emb_b = np.concatenate([same_b, diff_b])
+    same = np.concatenate([np.ones(100, bool), np.zeros(100, bool)])
+    perm = rng.permutation(200)
+    m = verification.verification_accuracy(emb_a[perm], emb_b[perm], same[perm])
+    assert m["accuracy"] > 0.95

@@ -1,0 +1,138 @@
+"""Training-loop tests: per-task steps learn on synthetic data, the
+round-robin orchestrator runs end-to-end with checkpointing + resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prpe_tpu.core.config import (
+    DataConfig, OptimConfig, TaskConfig, TrainConfig,
+)
+from prpe_tpu.data import synthetic
+from prpe_tpu.models.combined import CombinedModel
+from prpe_tpu.train.optim import build_optimizer
+from prpe_tpu.train.round_robin import RoundRobinTrainer
+from prpe_tpu.train.state import create_train_state
+from prpe_tpu.train.steps import make_eval_step, make_train_step
+from tests.test_models import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = CombinedModel(config=cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    labels = jnp.zeros((1,), jnp.int32)
+    variables = model.init(jax.random.key(0), x, labels, method="init_all")
+    return cfg, model, variables
+
+
+def _run_steps(model, cfg, variables, task, batch_fn, n_steps=6, lr=2e-3):
+    tx = build_optimizer(OptimConfig(optimizer="adam", learning_rate=lr))
+    # steps donate the state; keep the module-scoped fixture intact
+    state = create_train_state(jax.tree_util.tree_map(jnp.copy, variables), {task: tx})
+    step = make_train_step(model, task, tx, cfg)
+    rng = np.random.default_rng(0)
+    losses = []
+    batch = {k: jnp.asarray(v) for k, v in batch_fn(rng).items()}
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def test_detection_step_learns(setup):
+    cfg, model, variables = setup
+    fn = lambda rng: synthetic.detection_batch(rng, batch_size=2, image_size=128, max_gt=8)
+    losses, _ = _run_steps(model, cfg, variables, "person_detection", fn)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_face_recognition_step_learns(setup):
+    cfg, model, variables = setup
+    fn = lambda rng: synthetic.face_batch(rng, batch_size=4, image_size=128,
+                                          num_classes=cfg.face.num_classes)
+    losses, state = _run_steps(model, cfg, variables, "face_recognition", fn, lr=1e-3)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # margin EMA stats must have moved off their init values
+    assert float(state.batch_stats["margin_mean"]) != 20.0
+
+
+def test_pose_step_learns(setup):
+    cfg, model, variables = setup
+    fn = lambda rng: synthetic.pose_batch(rng, batch_size=2, image_size=128, max_instances=4)
+    losses, _ = _run_steps(model, cfg, variables, "pose_estimation", fn)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_steps_run(setup):
+    cfg, model, variables = setup
+    rng = np.random.default_rng(1)
+    for task, fn in (
+        ("face_detection", lambda: synthetic.detection_batch(rng, 2, 128, 8)),
+        ("face_recognition", lambda: synthetic.face_batch(rng, 4, 128, cfg.face.num_classes)),
+        ("pose_estimation", lambda: synthetic.pose_batch(rng, 2, 128, 4)),
+    ):
+        estep = make_eval_step(model, task, cfg)
+        batch = {k: jnp.asarray(v) for k, v in fn().items()}
+        metrics, preds = estep(variables, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        if task == "face_detection":
+            assert preds.boxes.shape[-1] == 4
+
+
+def test_round_robin_end_to_end(setup, tmp_path):
+    cfg, model, variables = setup
+    tasks = tuple(
+        TaskConfig(name=n, optim=OptimConfig(learning_rate=1e-3),
+                   monitor="val_loss", monitor_mode="min")
+        for n in ("person_detection", "face_recognition", "pose_estimation")
+    )
+    tcfg = TrainConfig(total_epochs=2, checkpoint_dir=str(tmp_path / "ckpt"), tasks=tasks)
+    loaders = {
+        "person_detection": {
+            "train": synthetic.make_loader("person_detection", batches_per_epoch=2,
+                                           batch_size=2, image_size=128, max_gt=8),
+            "val": synthetic.make_loader("person_detection", batches_per_epoch=1,
+                                         batch_size=2, image_size=128, max_gt=8, seed=9),
+        },
+        "face_recognition": {
+            "train": synthetic.make_loader("face_recognition", batches_per_epoch=2,
+                                           batch_size=4, image_size=128,
+                                           num_classes=cfg.face.num_classes),
+            "val": synthetic.make_loader("face_recognition", batches_per_epoch=1,
+                                         batch_size=4, image_size=128,
+                                         num_classes=cfg.face.num_classes, seed=9),
+        },
+        "pose_estimation": {
+            "train": synthetic.make_loader("pose_estimation", batches_per_epoch=2,
+                                           batch_size=2, image_size=128, max_instances=4),
+        },
+    }
+    trainer = RoundRobinTrainer(
+        model, cfg, tcfg, jax.tree_util.tree_map(jnp.copy, variables),
+        loaders, log_dir=str(tmp_path / "logs"),
+    )
+    out = trainer.train()
+    hist = out["history"]
+    assert len(hist) == 2 * 3  # epochs x tasks
+    assert all(np.isfinite(h["train/loss"]) for h in hist)
+    # val metrics present where loaders given
+    assert any("val_loss" in h for h in hist)
+
+    # checkpoints exist + resume restores epoch bookkeeping
+    trainer2 = RoundRobinTrainer(
+        model, cfg, tcfg, jax.tree_util.tree_map(jnp.copy, variables),
+        loaders, log_dir=str(tmp_path / "logs2"),
+    )
+    trainer2.resume()
+    assert trainer2.start_epoch == 2
+    # restored params match trained params
+    a = jax.tree_util.tree_leaves(out["state"].params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
