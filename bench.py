@@ -48,7 +48,10 @@ def main():
     img0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     face0 = jnp.zeros((1, 112, 112, 3), jnp.float32)
     pose0 = jnp.zeros((1, 256, 192, 3), jnp.float32)
-    variables = model.init(key, img0, face0, pose0, method="init_all")
+    # jit: one compiled init program instead of per-primitive eager dispatch
+    variables = jax.jit(
+        lambda k, a, b, c: model.init(k, a, b, c, method="init_all")
+    )(key, img0, face0, pose0)
 
     runner = build_cascade_runner(
         model, CascadeConfig(max_persons=8, max_faces=8, match_threshold=0.3),

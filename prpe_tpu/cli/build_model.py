@@ -30,8 +30,15 @@ def build_variables(component_dir: pathlib.Path, cfg=None, log=print):
     cfg = cfg or CombinedModelConfig()
     model = CombinedModel(config=cfg)
     x = jnp.zeros((1, 128, 128, 3))
-    variables = model.init(
-        jax.random.key(0), x, jnp.zeros((1,), jnp.int32), method="init_all"
+
+    # jit the init: eager flax init dispatches each primitive as its own
+    # XLA program (minutes of compile on a small host / remote-compile
+    # relay); under jit the whole init is ONE compiled program.
+    def _init(key, xx, labels):
+        return model.init(key, xx, labels, method="init_all")
+
+    variables = jax.jit(_init)(
+        jax.random.key(0), x, jnp.zeros((1,), jnp.int32)
     )
     variables = jax.device_get(variables)
 

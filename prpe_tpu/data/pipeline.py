@@ -83,6 +83,8 @@ def prefetch_to_device(
     sentinel = object()
 
     def producer():
+        # Exceptions must propagate to the consumer, not silently truncate
+        # the epoch: enqueue the exception object and re-raise it there.
         try:
             for batch in it:
                 if sharding is not None:
@@ -90,7 +92,9 @@ def prefetch_to_device(
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
-        finally:
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            q.put(e)
+        else:
             q.put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -99,6 +103,8 @@ def prefetch_to_device(
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -35,7 +35,10 @@ class MarginState(NamedTuple):
 
 def _normalized_cosine(kernel: jnp.ndarray, embeddings: jnp.ndarray, eps: float):
     kernel_norm = kernel / jnp.linalg.norm(kernel, axis=0, keepdims=True)
-    cosine = embeddings @ kernel_norm
+    # Full-f32 matmul: TPU default matmul precision truncates mantissas, and
+    # cosine margins are sensitive near the clip boundary (parity with the
+    # reference's fp32 torch linear, libs/head_adaface.py:98).
+    cosine = jnp.matmul(embeddings, kernel_norm, precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(cosine, -1.0 + eps, 1.0 - eps)
 
 
@@ -80,7 +83,10 @@ def adaface_logits(
     else:
         new_state = state
 
-    margin_scaler = (safe_norms - state.batch_mean) / (state.batch_std + eps)
+    # Reference updates the EMA buffers first and computes the margin scaler
+    # from the *updated* statistics in the same forward
+    # (libs/head_adaface.py:87-96) — use new_state, not the stale state.
+    margin_scaler = (safe_norms - new_state.batch_mean) / (new_state.batch_std + eps)
     margin_scaler = jnp.clip(margin_scaler * h, -1.0, 1.0)  # (B, 1)
 
     one_hot = jax.nn.one_hot(labels, num_classes, dtype=cosine.dtype)

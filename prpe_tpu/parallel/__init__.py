@@ -1,3 +1,4 @@
+from prpe_tpu.parallel import distributed
 from prpe_tpu.parallel.mesh import (
     batch_sharding,
     build_mesh,
@@ -9,6 +10,7 @@ from prpe_tpu.parallel.mesh import (
 __all__ = [
     "batch_sharding",
     "build_mesh",
+    "distributed",
     "make_param_shardings",
     "replicated",
     "shard_batch",

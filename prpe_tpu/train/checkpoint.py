@@ -62,7 +62,8 @@ class CheckpointManager:
         while len(meta["checkpoints"]) > self.keep:
             old = meta["checkpoints"].pop(0)
             old_path = self.dir / old["name"]
-            if old_path.exists() and old["name"] not in meta["best"].values():
+            best_names = {b["name"] for b in meta["best"].values()}
+            if old_path.exists() and old["name"] not in best_names:
                 shutil.rmtree(old_path)
         self._write_meta(meta)
         return str(path)

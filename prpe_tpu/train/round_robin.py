@@ -171,10 +171,12 @@ class RoundRobinTrainer:
                 mon = rt.config.monitor
                 val = metrics.get(mon)
                 if val is None:
-                    # fall back: monitor under val/ prefix
-                    val = metrics.get(f"val/{mon}") or metrics.get(
-                        mon.replace("val/", "val_")
-                    )
+                    # fall back: monitor under val/ prefix (explicit None
+                    # checks — a legitimate monitor value of 0.0 is not
+                    # "missing")
+                    val = metrics.get(f"val/{mon}")
+                if val is None:
+                    val = metrics.get(mon.replace("val/", "val_"))
                 if val is not None:
                     self.ckpt.update_best(
                         name, mon, float(val), rt.config.monitor_mode,

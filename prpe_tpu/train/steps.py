@@ -130,34 +130,50 @@ def make_train_step(
     ema_decay: float = 0.9999,
     ema_tau: float = 2000.0,
 ) -> Callable[[TrainState, Dict[str, Any], jax.Array], Tuple[TrainState, Dict]]:
+    """Returns ``step(state, batch, rng) -> (state, metrics)``.
+
+    Only the ACTIVE task's optimizer state crosses the jit boundary: threading
+    the other tasks' (donated, untouched) optimizer trees through the program
+    multiplies XLA's buffer-aliasing work by the number of tasks — measured
+    >10x compile-time blowup under an 8-device SPMD mesh. The sibling opt
+    states stay on device untouched in the host-side TrainState dict.
+    """
     loss_fn = make_loss_fn(model, task, cfg)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch, rng):
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def _step(params, batch_stats, opt_state, ema_params, ema_updates, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng, True
+            params, batch_stats, batch, rng, True
         )
-        updates, new_opt = tx.update(grads, state.opt_states[task], state.params)
-        params = optax.apply_updates(state.params, updates)
-        opt_states = dict(state.opt_states)
-        opt_states[task] = new_opt
-        new_state = state.replace(
-            step=state.step + 1,
-            params=params,
-            batch_stats=new_stats,
-            opt_states=opt_states,
-        )
-        if use_ema and state.ema_params is not None:
-            new_state = new_state.replace(
-                ema_updates=state.ema_updates + 1,
-                ema_params=update_ema(
-                    state.ema_params, params, state.ema_updates + 1,
-                    decay=ema_decay, tau=ema_tau,
-                ),
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if use_ema and ema_params is not None:
+            ema_updates = ema_updates + 1
+            ema_params = update_ema(
+                ema_params, new_params, ema_updates,
+                decay=ema_decay, tau=ema_tau,
             )
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_stats, new_opt, ema_params, ema_updates, metrics
+
+    def step(state: TrainState, batch, rng):
+        params, stats, opt, ema, ema_n, metrics = _step(
+            state.params, state.batch_stats, state.opt_states[task],
+            state.ema_params if use_ema else None,
+            state.ema_updates, batch, rng,
+        )
+        opt_states = dict(state.opt_states)
+        opt_states[task] = opt
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=stats,
+            opt_states=opt_states,
+            ema_params=ema if use_ema else state.ema_params,
+            ema_updates=ema_n if use_ema else state.ema_updates,
+        )
         return new_state, metrics
 
     return step

@@ -1,6 +1,10 @@
 #!/bin/bash
 # CPU test runner: skips the axon TPU-relay registration (slow, single-client)
 # and forces the 8-fake-device CPU platform the test suite expects.
-export PALLAS_AXON_POOL_IPS=
+# (tests/conftest.py re-asserts all of this; unset here for belt+braces —
+# the relay treats ANY set value, even empty, as enabled.)
+unset PALLAS_AXON_POOL_IPS
+unset PALLAS_AXON_REMOTE_COMPILE
 export JAX_PLATFORMS=cpu
-exec python -m pytest "${@:-tests/ -q}"
+if [ $# -eq 0 ]; then set -- tests/ -q; fi
+exec python -m pytest "$@"

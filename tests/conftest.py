@@ -10,17 +10,33 @@ import os
 # The deployment env pre-sets JAX_PLATFORMS to the TPU platform; tests must
 # override (not setdefault) to get the 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon relay would route every XLA compile through a remote single-client
+# service (slow; poisons the persistent cache with machine-mismatched AOT)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# KEEP IN SYNC with __graft_entry__.dryrun_multichip: identical debug options
+# mean identical compile-cache keys, so the suite pre-warms the dryrun.
+if "collective_call_terminate" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-# persistent XLA compile cache: repeated suite runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# persistent XLA compile cache: repeated suite runs skip recompilation.
+# Repo-local (survives across sessions, unlike /tmp) and SHARED with
+# __graft_entry__.dryrun_multichip so the suite pre-warms the driver's
+# multi-chip dryrun.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".cache", "jax")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -122,6 +122,31 @@ def test_make_epoch_loader_batches(tmp_path):
     assert batches[0]["image"].shape == (2, 32, 32, 3)
 
 
+def test_prefetch_propagates_producer_error():
+    """A data error mid-epoch must raise in the consumer, not silently end
+    the epoch (round-1 advisor finding on prefetch_to_device)."""
+    from prpe_tpu.data.pipeline import prefetch_to_device
+
+    def gen():
+        yield {"x": np.zeros((2, 4), np.float32)}
+        raise ValueError("corrupt record")
+
+    got = []
+    with pytest.raises(ValueError, match="corrupt record"):
+        for b in prefetch_to_device(gen(), size=2):
+            got.append(b)
+    assert len(got) == 1  # the good batch before the error still arrives
+
+
+def test_prefetch_happy_path_yields_all():
+    from prpe_tpu.data.pipeline import prefetch_to_device
+
+    it = ({"x": np.full((3,), i, np.float32)} for i in range(4))
+    out = list(prefetch_to_device(it, size=2))
+    assert len(out) == 4
+    assert float(np.asarray(out[2]["x"])[0]) == 2.0
+
+
 def test_convert_coco_roundtrip(tmp_path):
     from prpe_tpu.cli.convert_coco import convert
 

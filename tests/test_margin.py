@@ -67,7 +67,11 @@ def test_adaface_matches_formula(rng):
     # --- independent numpy transcription of the AdaFace paper formula ------
     cos = np_cosine(kernel, emb, eps)
     safe = np.clip(norms, 0.001, 100)
-    bm, bs = 20.0, 100.0  # initial EMA state
+    # Reference ordering (libs/head_adaface.py:87-96): EMA buffers update
+    # FIRST, the margin scaler uses the updated statistics.
+    bm0, bs0 = 20.0, 100.0  # initial EMA state
+    bm = safe.mean() * t_alpha + (1 - t_alpha) * bm0
+    bs = safe.std(ddof=1) * t_alpha + (1 - t_alpha) * bs0
     scaler = np.clip((safe - bm) / (bs + eps) * h, -1, 1)
     onehot = np.zeros_like(cos)
     onehot[np.arange(len(labels)), labels] = 1.0
@@ -79,10 +83,8 @@ def test_adaface_matches_formula(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
     # EMA update (unbiased std, torch .std() semantics)
-    want_mean = safe.mean() * t_alpha + (1 - t_alpha) * bm
-    want_std = safe.std(ddof=1) * t_alpha + (1 - t_alpha) * bs
-    np.testing.assert_allclose(float(new_state.batch_mean), want_mean, rtol=1e-5)
-    np.testing.assert_allclose(float(new_state.batch_std), want_std, rtol=1e-4)
+    np.testing.assert_allclose(float(new_state.batch_mean), bm, rtol=1e-5)
+    np.testing.assert_allclose(float(new_state.batch_std), bs, rtol=1e-4)
 
 
 def test_adaface_margin_penalizes_true_class(rng):
