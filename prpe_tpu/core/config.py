@@ -195,6 +195,16 @@ class CascadeConfig:
     match_threshold: float = 0.4
     # run pose only for persons whose face matched an enrolled identity
     gate_pose: bool = True
+    # total IR-50 face-embedding slots across the whole batch: the top-F
+    # face detections by score are compacted into a fixed (F, 112, 112, 3)
+    # buffer (same static-shape compaction as the pose stage) instead of
+    # embedding every (B, max_faces) slot, most of which are padding.
+    # None -> 2 * batch_size at trace time.
+    face_capacity: Optional[int] = None
+    # static NMS candidate count for cascade inference. The cascade gates at
+    # conf 0.25 (vs the eval path's 1e-3), so far fewer candidates survive;
+    # a short candidate list shrinks the serial greedy-NMS scan.
+    pre_nms_top_k: int = 256
 
 
 @dataclass(frozen=True)

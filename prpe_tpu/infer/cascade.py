@@ -90,7 +90,8 @@ class CascadeResult(NamedTuple):
     persons: nms_ops.Detections  # (B, Kp, ...)
     faces: nms_ops.Detections  # (B, Kf, ...)
     face_identity: jnp.ndarray  # (B, Kf) best gallery index (-1 = no match)
-    face_similarity: jnp.ndarray  # (B, Kf) best cosine similarity
+    face_similarity: jnp.ndarray  # (B, Kf) best cosine similarity (-1 for
+    # slots outside the top-F embedding budget, see CascadeConfig.face_capacity)
     person_gated: jnp.ndarray  # (B, Kp) bool — matched identity inside box
     # pose slots (G = pose capacity across the batch):
     pose_image_idx: jnp.ndarray  # (G,)
@@ -135,6 +136,8 @@ def build_cascade_runner(
         b = images.shape[0]
         size = images.shape[1]
         g_slots = pose_capacity or max(1, b * 2)
+        f_slots = min(cascade_cfg.face_capacity or max(1, b * 2), b * kf)
+        nms_k = min(cascade_cfg.pre_nms_top_k, det.pre_nms_top_k)
 
         # ---- stage 1: detection (both heads share nothing but the image) --
         person_maps = model.apply(variables, images, method="detect_person")
@@ -142,26 +145,41 @@ def build_cascade_runner(
         person_det = nms_ops.non_max_suppression(
             decode_predictions(person_maps, det.num_classes, det.reg_max),
             conf_threshold=0.25, iou_threshold=det.iou_threshold,
-            max_det=kp, pre_nms_top_k=det.pre_nms_top_k,
+            max_det=kp, pre_nms_top_k=nms_k,
         )
         face_det = nms_ops.non_max_suppression(
             decode_predictions(face_maps, det.num_classes, det.reg_max),
             conf_threshold=0.25, iou_threshold=det.iou_threshold,
-            max_det=kf, pre_nms_top_k=det.pre_nms_top_k,
+            max_det=kf, pre_nms_top_k=nms_k,
         )
 
         # ---- stage 2: face crops -> IR-50 embeddings -> gallery match -----
-        face_boxes = face_det.boxes.reshape(b * kf, 4)
-        face_idx = jnp.repeat(jnp.arange(b), kf)
+        # Top-F compaction across the batch: only the F highest-score face
+        # detections (a fixed budget, cascade_cfg.face_capacity) pay the
+        # IR-50 cost — padding slots stay out of the conv stack entirely.
+        face_score = jnp.where(
+            face_det.valid, face_det.scores, -jnp.inf
+        ).reshape(b * kf)
+        fs_scores, fs_idx = jax.lax.top_k(face_score, f_slots)
+        fs_valid = jnp.isfinite(fs_scores)
+        fs_img = fs_idx // kf
+        fs_boxes = face_det.boxes.reshape(b * kf, 4)[fs_idx]
         crops = crop_and_resize_batch(
-            images, face_boxes, face_idx, (112, 112)
-        )  # (B*Kf, 112, 112, 3) RGB [0, 1]
+            images, fs_boxes, fs_img, (112, 112)
+        )  # (F, 112, 112, 3) RGB [0, 1]
         crops = (crops - 0.5) / 0.5
         crops = crops[..., ::-1]  # AdaFace BGR convention
-        emb, _ = model.apply(variables, crops, method="embed")  # (B*Kf, 512)
-        sims = emb @ gallery.T  # (B*Kf, G_ids)
-        best_sim = sims.max(-1).reshape(b, kf)
-        best_id = sims.argmax(-1).reshape(b, kf)
+        emb, _ = model.apply(variables, crops, method="embed")  # (F, 512)
+        sims = emb @ gallery.T  # (F, G_ids)
+        slot_sim = jnp.where(fs_valid, sims.max(-1), -1.0)
+        slot_id = sims.argmax(-1)
+        # scatter the per-slot results back to the (B, Kf) detection grid
+        best_sim = jnp.full((b * kf,), -1.0, slot_sim.dtype).at[fs_idx].set(
+            slot_sim, mode="drop"
+        ).reshape(b, kf)
+        best_id = jnp.zeros((b * kf,), jnp.int32).at[fs_idx].set(
+            slot_id.astype(jnp.int32), mode="drop"
+        ).reshape(b, kf)
         matched = (best_sim > cascade_cfg.match_threshold) & face_det.valid
         face_identity = jnp.where(matched, best_id, -1)
 

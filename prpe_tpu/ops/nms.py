@@ -77,6 +77,75 @@ def greedy_suppression_mask(
     return keep
 
 
+def _nms_batched(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    *,
+    conf_threshold: float,
+    iou_threshold: float,
+    max_det: int,
+    pre_nms_top_k: int,
+    max_wh: float,
+    use_pallas: bool,
+) -> Detections:
+    """Batched fixed-shape NMS core.
+
+    Args:
+      boxes: (B, N, 4) xyxy. scores/classes: (B, N).
+    """
+    n = boxes.shape[-2]
+    k = min(pre_nms_top_k, n)
+
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+    gated = jnp.where(scores > conf_threshold, scores, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(gated, k)  # (B, K)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=-2)
+    top_classes = jnp.take_along_axis(classes, top_idx, axis=-1)
+    valid = top_scores > conf_threshold
+
+    # class-offset trick: boxes of different classes never overlap
+    off_boxes = top_boxes + top_classes.astype(boxes.dtype)[..., None] * max_wh
+
+    from prpe_tpu.ops.pallas.nms_kernel import MAX_PALLAS_K, pallas_greedy_nms
+
+    if use_pallas and k <= MAX_PALLAS_K:
+        keep = pallas_greedy_nms(off_boxes, valid, iou_threshold)
+    else:
+
+        def one(bx, va):
+            iou = pairwise_iou(bx, bx, kind="iou")
+            return greedy_suppression_mask(iou, va, iou_threshold)
+
+        keep = jax.vmap(one)(off_boxes, valid)
+
+    # compact kept detections to the front, cap at max_det
+    kk = min(max_det, k)
+    keep_scores = jnp.where(keep, top_scores, neg_inf)
+    det_scores, det_idx = jax.lax.top_k(keep_scores, kk)  # (B, kk)
+    det_valid = jnp.isfinite(det_scores)
+    det_scores = jnp.where(det_valid, det_scores, 0.0)
+    det_boxes = jnp.take_along_axis(top_boxes, det_idx[..., None], axis=-2)
+    det_classes = jnp.take_along_axis(top_classes, det_idx, axis=-1)
+    det = Detections(
+        boxes=jnp.where(det_valid[..., None], det_boxes, 0.0),
+        scores=det_scores,
+        classes=jnp.where(det_valid, det_classes, -1),
+        valid=det_valid,
+    )
+    if kk < max_det:
+        pad = max_det - kk
+        bdims = det.scores.ndim - 1
+        no_pad = ((0, 0),) * bdims
+        det = Detections(
+            boxes=jnp.pad(det.boxes, no_pad + ((0, pad), (0, 0))),
+            scores=jnp.pad(det.scores, no_pad + ((0, pad),)),
+            classes=jnp.pad(det.classes, no_pad + ((0, pad),), constant_values=-1),
+            valid=jnp.pad(det.valid, no_pad + ((0, pad),)),
+        )
+    return det
+
+
 def nms_single(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -97,43 +166,18 @@ def nms_single(
 
     Returns fixed-shape :class:`Detections` of length ``max_det``.
     """
-    n = boxes.shape[0]
-    k = min(pre_nms_top_k, n)
-
-    neg_inf = jnp.array(-jnp.inf, scores.dtype)
-    gated = jnp.where(scores > conf_threshold, scores, neg_inf)
-    top_scores, top_idx = jax.lax.top_k(gated, k)
-    top_boxes = boxes[top_idx]
-    top_classes = classes[top_idx]
-    valid = top_scores > conf_threshold
-
-    # class-offset trick: boxes of different classes never overlap
-    offset = top_classes.astype(boxes.dtype)[:, None] * max_wh
-    iou = pairwise_iou(top_boxes + offset, top_boxes + offset, kind="iou")
-
-    keep = greedy_suppression_mask(iou, valid, iou_threshold)
-
-    # compact kept detections to the front, cap at max_det
-    kk = min(max_det, k)
-    keep_scores = jnp.where(keep, top_scores, neg_inf)
-    det_scores, det_idx = jax.lax.top_k(keep_scores, kk)
-    det_valid = jnp.isfinite(det_scores)
-    det_scores = jnp.where(det_valid, det_scores, 0.0)
-    det = Detections(
-        boxes=jnp.where(det_valid[:, None], top_boxes[det_idx], 0.0),
-        scores=det_scores,
-        classes=jnp.where(det_valid, top_classes[det_idx], -1),
-        valid=det_valid,
+    det = _nms_batched(
+        boxes[None],
+        scores[None],
+        classes[None],
+        conf_threshold=conf_threshold,
+        iou_threshold=iou_threshold,
+        max_det=max_det,
+        pre_nms_top_k=pre_nms_top_k,
+        max_wh=max_wh,
+        use_pallas=False,
     )
-    if kk < max_det:
-        pad = max_det - kk
-        det = Detections(
-            boxes=jnp.pad(det.boxes, ((0, pad), (0, 0))),
-            scores=jnp.pad(det.scores, (0, pad)),
-            classes=jnp.pad(det.classes, (0, pad), constant_values=-1),
-            valid=jnp.pad(det.valid, (0, pad)),
-        )
-    return det
+    return Detections(*(x[0] for x in det))
 
 
 def non_max_suppression(
@@ -144,6 +188,7 @@ def non_max_suppression(
     max_det: int = 300,
     pre_nms_top_k: int = 1024,
     max_wh: float = 7680.0,
+    use_pallas: bool | None = None,
 ) -> Detections:
     """Batched NMS over raw decoded YOLO outputs.
 
@@ -152,6 +197,10 @@ def non_max_suppression(
         scores (the eval-mode head output; reference feeds the transposed
         (B, 4+nc, A) into training/yolopt/util.py:123 — we keep channels last,
         the TPU-friendly layout).
+      use_pallas: run the greedy scan as the VMEM-resident Pallas kernel
+        (prpe_tpu/ops/pallas/nms_kernel.py). Default: on iff the program is
+        being staged for TPU — the lax fori_loop scan issues K tiny
+        HBM-resident vector ops and is launch-latency-bound there.
 
     Returns batched fixed-shape :class:`Detections`.
 
@@ -169,14 +218,17 @@ def non_max_suppression(
         scores = cls_scores.max(axis=-1)
         classes = cls_scores.argmax(axis=-1).astype(jnp.int32)
 
-    fn = lambda b, s, c: nms_single(
-        b,
-        s,
-        c,
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    return _nms_batched(
+        boxes,
+        scores,
+        classes,
         conf_threshold=conf_threshold,
         iou_threshold=iou_threshold,
         max_det=max_det,
         pre_nms_top_k=pre_nms_top_k,
         max_wh=max_wh,
+        use_pallas=use_pallas,
     )
-    return jax.vmap(fn)(boxes, scores, classes)

@@ -9,7 +9,12 @@ vector op and the loop is launch-latency-bound. This kernel keeps the whole
   * the IoU-threshold matrix is computed by the VPU in VMEM
   * the greedy scan reads one row per step from VMEM (no HBM traffic)
 
-K = pre_nms_top_k (default 1024): the bool matrix is 1 MB, well inside VMEM.
+Block shapes: Mosaic requires the last two block dims to be (multiple of 8,
+multiple of 128) or exactly the array dims — so boxes ride as (1, K, 4)
+blocks and the (B, K) masks as (1, 1, K) blocks (leading dims squeezed
+in-kernel). K is capped by the caller (prpe_tpu/ops/nms.py) so the (K, K)
+fp32 IoU matrix and its bool threshold stay comfortably inside ~16 MB VMEM.
+
 Exactness matches the reference algorithm (training/yolopt/util.py:123-169
 via torchvision.ops.nms) — verified against the lax path in tests.
 """
@@ -23,9 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# largest candidate count routed to this kernel: (K, K) fp32 IoU + bool
+# suppress + row temporaries must fit VMEM with headroom
+MAX_PALLAS_K = 512
 
-def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold: float):
-    boxes = boxes_ref[:]  # (K, 4) f32 (class-offset already applied)
+
+def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, *, iou_threshold: float):
+    boxes = boxes_ref[0]  # (K, 4) f32 (class-offset already applied)
     k = boxes.shape[0]
 
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -37,26 +46,35 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold: float):
     iy2 = jnp.minimum(y2[:, None], y2[None, :])
     inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
     iou = inter / (area[:, None] + area[None, :] - inter + 1e-7)
-    suppress = iou > iou_threshold  # (K, K) in VMEM
+    # park the threshold matrix in VMEM scratch: the scan reads one row per
+    # step via ref dynamic-slicing (value-level dynamic_slice has no Mosaic
+    # lowering; scalar picks are one-hot reductions for the same reason)
+    sup_ref[:, :] = (iou > iou_threshold).astype(jnp.float32)
 
-    valid = valid_ref[:].astype(jnp.bool_)  # (K,)
+    valid = (valid_ref[0] != 0).astype(jnp.float32)  # (1, K)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    # candidates arrive score-sorted, so validity is (in practice) a prefix:
+    # bound the serial scan at the last valid index instead of K. The scan is
+    # the kernel's critical path — with a handful of real detections this is
+    # a ~100x trip-count cut. (Correct for any mask, not just prefixes: the
+    # bound is max(index of valid)+1.)
+    n_iter = jnp.max((col + 1) * valid.astype(jnp.int32))
 
     def body(i, carry):
-        keep, suppressed = carry
-        row_i = jax.lax.dynamic_slice_in_dim(suppress, i, 1, 0)[0]  # (K,)
-        sup_i = jax.lax.dynamic_slice_in_dim(suppressed, i, 1, 0)[0]
-        val_i = jax.lax.dynamic_slice_in_dim(valid, i, 1, 0)[0]
-        is_kept = jnp.logical_and(val_i, jnp.logical_not(sup_i))
-        keep = jax.lax.dynamic_update_slice_in_dim(
-            keep, is_kept[None], i, 0
-        )
-        suppressed = jnp.logical_or(suppressed, jnp.logical_and(is_kept, row_i))
+        keep, suppressed = carry  # (1, K) f32 0/1
+        onehot = (col == i).astype(jnp.float32)
+        row_i = sup_ref[pl.ds(i, 1), :]  # (1, K)
+        val_i = jnp.sum(valid * onehot)
+        sup_i = jnp.minimum(jnp.sum(suppressed * onehot), 1.0)
+        is_kept = val_i * (1.0 - sup_i)  # scalar 0/1
+        keep = keep + onehot * is_kept
+        suppressed = jnp.maximum(suppressed, is_kept * row_i)
         return keep, suppressed
 
-    keep0 = jnp.zeros((k,), jnp.bool_)
-    suppressed0 = jnp.zeros((k,), jnp.bool_)
-    keep, _ = jax.lax.fori_loop(0, k, body, (keep0, suppressed0))
-    keep_ref[:] = keep.astype(jnp.int32)
+    zeros = jnp.zeros((1, k), jnp.float32)
+    keep, _ = jax.lax.fori_loop(0, n_iter, body, (zeros, zeros))
+    keep_ref[0] = (keep > 0.0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
@@ -81,11 +99,12 @@ def pallas_greedy_nms(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((None, k, 4), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, k), lambda i: (i, 0)),
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, k), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
         interpret=interpret,
-    )(boxes.astype(jnp.float32), valid.astype(jnp.int32))
-    return keep.astype(jnp.bool_)
+    )(boxes.astype(jnp.float32), valid.astype(jnp.int32)[:, None, :])
+    return keep[:, 0, :].astype(jnp.bool_)

@@ -31,6 +31,15 @@ class CheckpointManager:
         self._ckpt = ocp.StandardCheckpointer()
         self._meta_path = self.dir / "meta.json"
 
+    def _wait(self):
+        """Block until the save is committed to disk. Newer orbax makes
+        StandardCheckpointer async — without this, a restore right after
+        save() races the background commit (and interpreter shutdown kills
+        the committing thread outright)."""
+        wait = getattr(self._ckpt, "wait_until_finished", None)
+        if wait is not None:
+            wait()
+
     # ----------------------------------------------------------------- #
     def _meta(self) -> Dict[str, Any]:
         if self._meta_path.exists():
@@ -53,6 +62,7 @@ class CheckpointManager:
         if path.exists():
             shutil.rmtree(path)
         self._ckpt.save(path, jax.device_get(state))
+        self._wait()
         meta = self._meta()
         meta["checkpoints"].append(
             {"name": name, "epoch": epoch, "last_task": last_task,
@@ -85,6 +95,7 @@ class CheckpointManager:
             if path.exists():
                 shutil.rmtree(path)
             self._ckpt.save(path, jax.device_get(state))
+            self._wait()
             meta["best"][task] = {"value": float(value), "monitor": monitor,
                                   "epoch": epoch, "name": name}
             self._write_meta(meta)

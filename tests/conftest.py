@@ -14,16 +14,42 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # service (slow; poisons the persistent cache with machine-mismatched AOT)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+def _known_xla_flags(*names):
+    """Filter to flags the installed jaxlib actually knows.
+
+    An unknown name in XLA_FLAGS is a *fatal* glog abort before pytest can
+    print anything (this bit us when jaxlib renamed
+    xla_cpu_collective_call_warn_stuck_seconds) — probe the binaries instead
+    of trusting the spelling."""
+    import glob
+
+    try:
+        import jaxlib
+
+        blobs = []
+        root = os.path.dirname(jaxlib.__file__)
+        for so in glob.glob(os.path.join(root, "**", "*.so*"), recursive=True):
+            with open(so, "rb") as f:
+                blobs.append(f.read())
+        return [n for n in names if any(n.encode() in b for b in blobs)]
+    except Exception:
+        return []
+
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
 # KEEP IN SYNC with __graft_entry__.dryrun_multichip: identical debug options
 # mean identical compile-cache keys, so the suite pre-warms the dryrun.
+# (8 virtual devices timeslicing a small host trip the default ~30s
+# collective-stuck watchdogs on slow compiles; raise them when available.)
 if "collective_call_terminate" not in flags:
-    flags += (
-        " --xla_cpu_collective_call_warn_stuck_seconds=300"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
-    )
+    _WATCHDOGS = {
+        "xla_cpu_collective_call_warn_stuck_timeout_seconds": 300,
+        "xla_cpu_collective_call_terminate_timeout_seconds": 1800,
+    }
+    for name in _known_xla_flags(*_WATCHDOGS):
+        flags += f" --{name}={_WATCHDOGS[name]}"
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 

@@ -46,7 +46,11 @@ def _run_steps(model, cfg, variables, task, batch_fn, n_steps=6, lr=2e-3):
 def test_detection_step_learns(setup):
     cfg, model, variables = setup
     fn = lambda rng: synthetic.detection_batch(rng, batch_size=2, image_size=128, max_gt=8)
-    losses, _ = _run_steps(model, cfg, variables, "person_detection", fn)
+    # lr 5e-4: the TAL-assigned detection loss is nonstationary (targets move
+    # with the predictions) and one-batch overfit on the tiny model diverges
+    # at the default 2e-3
+    losses, _ = _run_steps(model, cfg, variables, "person_detection", fn,
+                           n_steps=10, lr=5e-4)
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
 
