@@ -140,8 +140,13 @@ def build_cascade_runner(
         nms_k = min(cascade_cfg.pre_nms_top_k, det.pre_nms_top_k)
 
         # ---- stage 1: detection (both heads share nothing but the image) --
-        person_maps = model.apply(variables, images, method="detect_person")
-        face_maps = model.apply(variables, images, method="detect_face")
+        # one up-front cast to the model compute dtype: both YOLO passes share
+        # the converted/retiled buffer instead of each paying the fp32->bf16
+        # retile on the 640^2 input (ROI crops keep sampling the fp32 images —
+        # bf16 has too few mantissa bits for pixel coordinates at 640)
+        x_det = images.astype(model.dtype)
+        person_maps = model.apply(variables, x_det, method="detect_person")
+        face_maps = model.apply(variables, x_det, method="detect_face")
         person_det = nms_ops.non_max_suppression(
             decode_predictions(person_maps, det.num_classes, det.reg_max),
             conf_threshold=0.25, iou_threshold=det.iou_threshold,

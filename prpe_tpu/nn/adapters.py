@@ -20,7 +20,7 @@ from typing import Any, Callable, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prpe_tpu.nn.common import PReLU, bilinear_resize
+from prpe_tpu.nn.common import PReLU, bilinear_resize, inference_bn
 
 Dtype = Any
 
@@ -37,8 +37,10 @@ class _ConvBNAct(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding=[(p, p), (p, p)], use_bias=True, dtype=self.dtype,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                         momentum=0.9, dtype=self.dtype, name="bn")(x)
+        x = inference_bn(
+            nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, dtype=self.dtype, name="bn"),
+            x, train)
         if self.act == "silu":
             return nn.silu(x)
         if self.act == "gelu":

@@ -20,6 +20,35 @@ from flax import linen as nn
 Dtype = Any
 
 
+def inference_bn(bn: nn.BatchNorm, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """Apply ``bn``; in inference mode, as a dtype-preserving scale+bias.
+
+    flax's eval-mode BatchNorm normalizes against the fp32 running stats,
+    which XLA compiles as a separate fp32 fusion with retiling copies around
+    every conv (bf16 and fp32 use different TPU tile shapes — measured ~1.4
+    ms/step of pure layout copies in the 640^2 cascade). Precomputing the
+    per-channel scale/bias in fp32 and applying them in the activation dtype
+    keeps the whole conv+BN+act chain in ONE fusion — the trace-time
+    equivalent of the reference's weight-level ``fuse_conv``
+    (reference: training/yolopt/nets/nn.py:8-25).
+
+    In train mode this is exactly ``bn(x)`` (batch-stats path untouched).
+    """
+    if train:
+        return bn(x)
+    _ = bn(x)  # declares params/stats; unused output is DCE'd by XLA
+    v = bn.variables
+    var = v["batch_stats"]["var"]
+    mean = v["batch_stats"]["mean"]
+    scale = jax.lax.rsqrt(var + bn.epsilon)
+    if bn.use_scale:
+        scale = scale * v["params"]["scale"]
+    bias = -mean * scale
+    if bn.use_bias:
+        bias = bias + v["params"]["bias"]
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv2d(bias-free) + BatchNorm + activation.
 
@@ -54,13 +83,17 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            epsilon=self.bn_eps,
-            momentum=self.bn_momentum,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        x = inference_bn(
+            nn.BatchNorm(
+                use_running_average=not train,
+                epsilon=self.bn_eps,
+                momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name="bn",
+            ),
+            x,
+            train,
+        )
         if self.act is not None:
             x = self.act(x)
         return x

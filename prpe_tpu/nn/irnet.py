@@ -15,7 +15,7 @@ from typing import Any, List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prpe_tpu.nn.common import PReLU
+from prpe_tpu.nn.common import PReLU, inference_bn
 
 Dtype = Any
 
@@ -55,9 +55,9 @@ class BasicBlockIR(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: (lambda y: inference_bn(nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype, name=name, **_BN
-        )
+        ), y, train))
         in_ch = x.shape[-1]
         if in_ch == self.depth:
             # MaxPool2d(1, stride) == strided subsample
@@ -91,9 +91,9 @@ class BottleneckIR(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: (lambda y: inference_bn(nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype, name=name, **_BN
-        )
+        ), y, train))
         in_ch = x.shape[-1]
         mid = self.depth // 4
         if in_ch == self.depth:
@@ -140,9 +140,9 @@ class IRNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: (lambda y: inference_bn(nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype, name=name, **_BN
-        )
+        ), y, train))
         use_se = self.mode == "ir_se"
         blocks = _BLOCKS[self.num_layers]
         block_cls = BasicBlockIR if self.num_layers <= 100 else BottleneckIR
@@ -167,10 +167,14 @@ class IRNet(nn.Module):
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = x.reshape(x.shape[0], -1)  # NHWC flatten (porting permutes weights)
         x = nn.Dense(self.embedding_size, dtype=self.dtype, name="output_linear")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, use_bias=False, use_scale=False,
-            dtype=self.dtype, name="output_bn1d", **_BN,
-        )(x)
+        x = inference_bn(
+            nn.BatchNorm(
+                use_running_average=not train, use_bias=False, use_scale=False,
+                dtype=self.dtype, name="output_bn1d", **_BN,
+            ),
+            x,
+            train,
+        )
 
         norm = jnp.linalg.norm(x.astype(jnp.float32), axis=1, keepdims=True)
         norm = jnp.maximum(norm, 1e-12)  # guard all-zero embeddings

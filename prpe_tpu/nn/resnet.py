@@ -15,7 +15,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prpe_tpu.nn.common import max_pool
+from prpe_tpu.nn.common import inference_bn, max_pool
 
 Dtype = Any
 
@@ -30,9 +30,9 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: (lambda y: inference_bn(nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype, name=name, **_BN
-        )
+        ), y, train))
         conv = lambda f, k, s, p, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
             use_bias=False, dtype=self.dtype, name=name,
@@ -60,9 +60,13 @@ class ResNetTrunk(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="bn1", **_BN
-        )(x)
+        x = inference_bn(
+            nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, name="bn1", **_BN
+            ),
+            x,
+            train,
+        )
         x = nn.relu(x)
         x = max_pool(x, 3, strides=2, padding=1)
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prpe_tpu.nn.common import bilinear_resize
+from prpe_tpu.nn.common import bilinear_resize, inference_bn
 
 Dtype = Any
 
@@ -138,10 +138,14 @@ class ClassicDecoder(nn.Module):
                 256, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                 use_bias=False, dtype=self.dtype, name=f"deconv{i}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, epsilon=1e-5, momentum=0.9,
-                dtype=self.dtype, name=f"bn{i}",
-            )(x)
+            x = inference_bn(
+                nn.BatchNorm(
+                    use_running_average=not train, epsilon=1e-5, momentum=0.9,
+                    dtype=self.dtype, name=f"bn{i}",
+                ),
+                x,
+                train,
+            )
             x = nn.relu(x)
         return nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype, name="conv")(x)
 
