@@ -34,9 +34,15 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    batch = 8
+    # Serving-throughput configuration: batch 128 is the measured knee on one
+    # v5e chip (img/s at batch 8/32/64/128/256 = 470/663/745/983/945 — the
+    # small-channel YOLOv11-n layers are layout-bound at small batch and only
+    # saturate the MXU with many images in flight). pose_capacity scales 1:1
+    # with batch (average one gated person per image, the BASELINE.json
+    # workload assumption).
+    batch = 128
     image_size = 640
-    pose_capacity = 8
+    pose_capacity = 128
     gallery_size = 32
 
     model = CascadeModel(
