@@ -64,7 +64,11 @@ def main():
         pose_capacity=pose_capacity,
     )
 
-    images = jax.random.uniform(jax.random.key(1), (batch, image_size, image_size, 3))
+    # serve bf16 pixels: skips the on-device fp32->bf16 retile of the 640^2
+    # batch (crop coordinate math stays fp32 inside prpe_tpu/ops/roi.py)
+    images = jax.random.uniform(
+        jax.random.key(1), (batch, image_size, image_size, 3)
+    ).astype(dtype)
     gallery = jax.random.normal(jax.random.key(2), (gallery_size, 512))
     gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True)
 

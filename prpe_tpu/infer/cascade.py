@@ -142,8 +142,9 @@ def build_cascade_runner(
         # ---- stage 1: detection (both heads share nothing but the image) --
         # one up-front cast to the model compute dtype: both YOLO passes share
         # the converted/retiled buffer instead of each paying the fp32->bf16
-        # retile on the 640^2 input (ROI crops keep sampling the fp32 images —
-        # bf16 has too few mantissa bits for pixel coordinates at 640)
+        # retile on the 640^2 input. (Feeding bf16 images from the host skips
+        # the cast entirely — pixel-coordinate math in the ROI crops is fp32
+        # internally regardless of image dtype, see prpe_tpu/ops/roi.py.)
         x_det = images.astype(model.dtype)
         person_maps = model.apply(variables, x_det, method="detect_person")
         face_maps = model.apply(variables, x_det, method="detect_face")

