@@ -10,8 +10,9 @@ reference wraps (reference: training/modify_models.py:388-407):
   * "simple" decoder: ReLU -> bilinear x4 (align_corners=False) -> 3x3 conv
   * "classic" decoder: 2 deconv blocks + 1x1 conv
 
-The attention is a single fused QKV einsum; sequence length is 192 tokens so
-there is nothing to shard — it lives comfortably in VMEM.
+Attention keeps HF's separate q/k/v projections: measured on v5e, XLA
+schedules the three matmuls better than a fused [q|k|v] Dense (-4% cascade
+throughput when fused). Sequence length is 192 tokens, nothing to shard.
 """
 
 from __future__ import annotations
