@@ -121,3 +121,47 @@ def test_margin_stats_update_in_train_mode(combined):
     old = variables["batch_stats"]["margin_mean"]
     new = mutated["batch_stats"]["margin_mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_inference_bn_matches_flax_eval_bn():
+    """inference_bn's folded scale+bias == flax BatchNorm(eval) numerically,
+    and train mode still updates running stats identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from prpe_tpu.nn.common import ConvBN, inference_bn
+
+    class Plain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                                momentum=0.97, name="bn")(x)
+
+    class Folded(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return inference_bn(
+                nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                             momentum=0.97, name="bn"), x, False)
+
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 6))
+    v = Plain().init(jax.random.key(1), x)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    v["batch_stats"]["bn"]["mean"] = np.linspace(-1, 1, 6).astype(np.float32)
+    v["batch_stats"]["bn"]["var"] = np.linspace(0.5, 2.0, 6).astype(np.float32)
+    v["params"]["bn"]["scale"] = np.linspace(0.7, 1.3, 6).astype(np.float32)
+    v["params"]["bn"]["bias"] = np.linspace(-0.2, 0.2, 6).astype(np.float32)
+    a = Plain().apply(v, x)
+    b = Folded().apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # train mode: ConvBN must still mutate running stats (the folding is
+    # strictly an eval-path rewrite)
+    m = ConvBN(8, 3, padding=1)
+    vv = m.init(jax.random.key(2), x)
+    _, mut = m.apply(vv, x, True, mutable=["batch_stats"])
+    before = vv["batch_stats"]["bn"]["mean"]
+    after = mut["batch_stats"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))

@@ -130,3 +130,32 @@ def test_verification_separable(rng):
     perm = rng.permutation(200)
     m = verification.verification_accuracy(emb_a[perm], emb_b[perm], same[perm])
     assert m["accuracy"] > 0.95
+
+
+def test_crop_matches_naive_bilinear():
+    """Matmul-formulated crop == per-pixel numpy bilinear sampling."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(2, 24, 20, 3)).astype(np.float32)
+    boxes = np.array([[2.3, 4.1, 17.8, 21.2], [0.0, 0.0, 5.5, 7.25]], np.float32)
+    idx = np.array([1, 0])
+    oh, ow = 6, 5
+    out = np.asarray(crop_and_resize_batch(
+        jnp.asarray(img), jnp.asarray(boxes), jnp.asarray(idx), (oh, ow)))
+
+    h, w = img.shape[1:3]
+    want = np.zeros((2, oh, ow, 3), np.float32)
+    for k in range(2):
+        x1, y1, x2, y2 = boxes[k]
+        bw, bh = max(x2 - x1, 1e-3), max(y2 - y1, 1e-3)
+        src = img[idx[k]]
+        for i in range(oh):
+            for j in range(ow):
+                sy = np.clip(y1 + (i + 0.5) / oh * bh - 0.5, 0.0, h - 1.0)
+                sx = np.clip(x1 + (j + 0.5) / ow * bw - 0.5, 0.0, w - 1.0)
+                y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+                y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                fy, fx = sy - y0, sx - x0
+                top = src[y0, x0] * (1 - fx) + src[y0, x1i] * fx
+                bot = src[y1i, x0] * (1 - fx) + src[y1i, x1i] * fx
+                want[k, i, j] = top * (1 - fy) + bot * fy
+    np.testing.assert_allclose(out, want, atol=1e-4)
