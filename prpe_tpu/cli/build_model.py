@@ -19,7 +19,7 @@ import pathlib
 import sys
 
 
-def build_variables(component_dir: pathlib.Path, cfg=None, log=print):
+def build_variables(component_dir: pathlib.Path, cfg=None, log=print, dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +28,7 @@ def build_variables(component_dir: pathlib.Path, cfg=None, log=print):
     from prpe_tpu.models.combined import CombinedModel
 
     cfg = cfg or CombinedModelConfig()
-    model = CombinedModel(config=cfg)
+    model = CombinedModel(config=cfg, dtype=dtype or jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
 
     # jit the init: eager flax init dispatches each primitive as its own

@@ -122,6 +122,11 @@ def main(argv=None):
     ap.add_argument("--component-dir", default="component_models")
     ap.add_argument("--log-dir", default="runs")
     ap.add_argument("--seed", type=int, default=0)
+    # mixed precision: bf16 compute / fp32 params is the TPU analogue of the
+    # reference's Lightning precision=16 (round_robin_trainer.py:201)
+    ap.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable backbone rematerialization (needs more HBM)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -138,11 +143,15 @@ def main(argv=None):
 
     cfg = CombinedModelConfig(
         image_size=args.image_size,
+        remat_backbone=not args.no_remat,
         pose=dataclasses.replace(
             PoseConfig(), sigma=args.pose_sigma, keypoint_thresh=args.keypoint_thresh
         ),
     )
-    model, variables = build_variables(pathlib.Path(args.component_dir), cfg)
+    model, variables = build_variables(
+        pathlib.Path(args.component_dir), cfg,
+        dtype=jnp.dtype(args.dtype).type,
+    )
 
     tasks = tuple(
         dataclasses.replace(

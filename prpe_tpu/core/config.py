@@ -121,6 +121,9 @@ class CombinedModelConfig:
     backbone_channels: int = 2048
     # ResNet bottleneck counts per stage; (3, 4, 6, 3) == ResNet-50
     backbone_stages: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    # rematerialize backbone bottleneck blocks on backward (jax.checkpoint):
+    # required to train the reference config (batch 32 @ 640^2) on one chip
+    remat_backbone: bool = False
     image_size: int = 640
     detection: DetectionConfig = field(default_factory=DetectionConfig)
     face: AdaFaceConfig = field(default_factory=AdaFaceConfig)

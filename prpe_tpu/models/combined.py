@@ -46,7 +46,8 @@ class CombinedModel(nn.Module):
     def setup(self):
         cfg = self.config
         self.backbone = ResNetTrunk(
-            stage_sizes=cfg.backbone_stages, dtype=self.dtype, name="backbone"
+            stage_sizes=cfg.backbone_stages, remat=cfg.remat_backbone,
+            dtype=self.dtype, name="backbone",
         )
         self.yolo_person_adapter = YoloAdapter(
             target_size=cfg.detection.adapter_size, dtype=self.dtype

@@ -49,9 +49,18 @@ class Bottleneck(nn.Module):
 
 
 class ResNetTrunk(nn.Module):
-    """conv1..layer4, no avgpool/fc. Output (B, H/32, W/32, 2048)."""
+    """conv1..layer4, no avgpool/fc. Output (B, H/32, W/32, 2048).
+
+    ``remat=True`` rematerializes each bottleneck block on the backward pass
+    (jax.checkpoint per block): training at the reference config (batch 32 at
+    640^2, reference round_robin_trainer.py:400-407) holds ~8 GB of trunk
+    activations even in bf16 — per-block remat bounds live activations to the
+    block inputs at ~1/3 extra forward FLOPs. Forward-only (inference) paths
+    are unaffected.
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,16 +79,20 @@ class ResNetTrunk(nn.Module):
         x = nn.relu(x)
         x = max_pool(x, 3, strides=2, padding=1)
 
+        # static_argnums counts the bound module as arg 0: (self, x, train)
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        )
         features = 64
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if (stage > 0 and block == 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     features=features,
                     strides=strides,
                     downsample=(block == 0),
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train)
             features *= 2
         return x

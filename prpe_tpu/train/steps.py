@@ -59,6 +59,9 @@ def make_loss_fn(model, task: str, cfg: CombinedModelConfig) -> Callable:
 
         if task in DETECTION_TASKS:
             outs, mut = apply(batch["image"], _branch(task), train, method="detect")
+            # loss math in fp32 regardless of the model compute dtype (the
+            # raw per-level maps are small; TAL/CIoU/DFL in bf16 drift)
+            outs = [o.astype(jnp.float32) for o in outs]
             dl = L.yolo_detection_loss(
                 outs,
                 batch["gt_labels"],
@@ -80,6 +83,8 @@ def make_loss_fn(model, task: str, cfg: CombinedModelConfig) -> Callable:
         if task == "face_recognition":
             logits, mut = apply(batch["image"], batch["label"], train,
                                 method="face_logits")
+            # log-sum-exp over 85k classes needs fp32
+            logits = logits.astype(jnp.float32)
             loss = L.softmax_cross_entropy(logits, batch["label"]).mean()
             acc = (logits.argmax(-1) == batch["label"]).astype(jnp.float32).mean()
             return loss, (mut["batch_stats"], {"loss": loss, "acc": acc})
