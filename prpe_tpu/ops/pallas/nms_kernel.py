@@ -28,9 +28,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# largest candidate count routed to this kernel: (K, K) fp32 IoU + bool
-# suppress + row temporaries must fit VMEM with headroom
-MAX_PALLAS_K = 512
+# largest candidate count routed to this kernel: the (K, K) fp32 suppress
+# scratch (4 MB at K=1024) plus one (TILE, K) row-tile of IoU temporaries
+# must fit VMEM with headroom. Covers both the cascade (256) and the eval
+# path (DetectionConfig.pre_nms_top_k = 1024).
+MAX_PALLAS_K = 1024
+
+# rows of the suppress matrix built per step: bounds live IoU temporaries to
+# ~6 * TILE * K * 4 bytes (6 MB at K=1024) instead of 6 full (K, K) arrays
+_ROW_TILE = 256
 
 
 def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, *, iou_threshold: float):
@@ -40,16 +46,24 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, *, iou_threshold: float
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
 
-    ix1 = jnp.maximum(x1[:, None], x1[None, :])
-    iy1 = jnp.maximum(y1[:, None], y1[None, :])
-    ix2 = jnp.minimum(x2[:, None], x2[None, :])
-    iy2 = jnp.minimum(y2[:, None], y2[None, :])
-    inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-    iou = inter / (area[:, None] + area[None, :] - inter + 1e-7)
-    # park the threshold matrix in VMEM scratch: the scan reads one row per
-    # step via ref dynamic-slicing (value-level dynamic_slice has no Mosaic
-    # lowering; scalar picks are one-hot reductions for the same reason)
-    sup_ref[:, :] = (iou > iou_threshold).astype(jnp.float32)
+    # build the thresholded suppression matrix row-tile by row-tile so the
+    # (TILE, K) IoU intermediates never exceed VMEM, parking the result in
+    # scratch: the scan reads one row per step via ref dynamic-slicing
+    # (value-level dynamic_slice has no Mosaic lowering; scalar picks are
+    # one-hot reductions for the same reason)
+    tile = min(_ROW_TILE, k)
+    for t0 in range(0, k, tile):
+        sl = slice(t0, min(t0 + tile, k))  # explicit remainder slice
+        # slice to 1D before adding the broadcast axis: x1[sl, None] mixes a
+        # partial slice with None, which traces as a gather Mosaic can't lower
+        col = lambda v: v[sl][:, None]  # noqa: B023 - loop body consumed here
+        ix1 = jnp.maximum(col(x1), x1[None, :])
+        iy1 = jnp.maximum(col(y1), y1[None, :])
+        ix2 = jnp.minimum(col(x2), x2[None, :])
+        iy2 = jnp.minimum(col(y2), y2[None, :])
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        iou = inter / (col(area) + area[None, :] - inter + 1e-7)
+        sup_ref[sl, :] = (iou > iou_threshold).astype(jnp.float32)
 
     valid = (valid_ref[0] != 0).astype(jnp.float32)  # (1, K)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
