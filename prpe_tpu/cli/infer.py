@@ -34,10 +34,11 @@ def main(argv=None):
 
     model = CascadeModel(detection=DetectionConfig(), pose_cfg=PoseConfig())
     img0 = jnp.zeros((1, args.image_size, args.image_size, 3))
-    variables = model.init(
-        jax.random.key(0), img0, jnp.zeros((1, 112, 112, 3)),
-        jnp.zeros((1, 256, 192, 3)), method="init_all",
-    )
+    # jit: one compiled init program instead of per-primitive eager dispatch
+    variables = jax.jit(
+        lambda k, a, b, c: model.init(k, a, b, c, method="init_all")
+    )(jax.random.key(0), img0, jnp.zeros((1, 112, 112, 3)),
+      jnp.zeros((1, 256, 192, 3)))
     if args.checkpoint:
         import orbax.checkpoint as ocp
 
@@ -57,7 +58,9 @@ def main(argv=None):
         crops = load_batch(args.enroll, 112)
         crops = (crops - 0.5) / 0.5
         crops = crops[..., ::-1]
-        gallery, _ = model.apply(variables, crops, method="embed")
+        gallery, _ = jax.jit(
+            lambda v, c: model.apply(v, c, method="embed")
+        )(variables, crops)
     else:
         gallery = jnp.zeros((1, 512))
 
