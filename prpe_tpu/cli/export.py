@@ -36,7 +36,13 @@ def save_inference_checkpoint(variables, path: pathlib.Path):
         return x
 
     slim = jax.tree_util.tree_map(shrink, jax.device_get(variables))
-    ocp.StandardCheckpointer().save(path.absolute(), slim, force=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path.absolute(), slim, force=True)
+    # newer orbax saves asynchronously; block so the artifact is committed
+    # before the process can exit (same fix as train/checkpoint.py)
+    wait = getattr(ckpt, "wait_until_finished", None)
+    if wait is not None:
+        wait()
     return path
 
 
@@ -56,7 +62,7 @@ def main(argv=None):
 
         model = YOLO(nc=1)
         x = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
-        variables = model.init(jax.random.key(0), x)
+        variables = jax.jit(model.init)(jax.random.key(0), x)
 
         def fn(v, x):
             return decode_predictions(model.apply(v, x), nc=1)
@@ -66,21 +72,23 @@ def main(argv=None):
 
         model = build_irnet("ir_50")
         x = jnp.zeros((args.batch_size, 112, 112, 3))
-        variables = model.init(jax.random.key(0), x)
+        variables = jax.jit(model.init)(jax.random.key(0), x)
         fn = lambda v, x: model.apply(v, x)
     elif args.model == "vitpose":
         from prpe_tpu.nn.vit import ViTPose
 
         model = ViTPose()
         x = jnp.zeros((args.batch_size, 256, 192, 3))
-        variables = model.init(jax.random.key(0), x)
+        variables = jax.jit(model.init)(jax.random.key(0), x)
         fn = lambda v, x: model.apply(v, x)
     else:  # combined_pose
         from prpe_tpu.models.combined import CombinedModel
 
         model = CombinedModel()
         x = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
-        variables = model.init(jax.random.key(0), x, method="pose")
+        variables = jax.jit(
+            lambda k, xx: model.init(k, xx, method="pose")
+        )(jax.random.key(0), x)
         fn = lambda v, x: model.apply(v, x, method="pose")
 
     out = export_stablehlo(fn, (variables, x), pathlib.Path(args.output))
