@@ -34,7 +34,8 @@ def main(argv=None):
 
     model = build_irnet("ir_50")
     x0 = jnp.zeros((1, 112, 112, 3))
-    variables = model.init(jax.random.key(0), x0)
+    # jit: one compiled init program instead of per-primitive eager dispatch
+    variables = jax.jit(model.init)(jax.random.key(0), x0)
     if args.checkpoint:
         import orbax.checkpoint as ocp
 

@@ -61,7 +61,8 @@ def main(argv=None):
                               image_size=args.input_size)
     model = YOLO(nc=args.num_classes, variant=args.variant)
     x0 = jnp.zeros((1, args.input_size, args.input_size, 3))
-    variables = model.init(jax.random.key(0), x0)
+    # jit: one compiled init program instead of per-primitive eager dispatch
+    variables = jax.jit(model.init)(jax.random.key(0), x0)
     params = variables["params"]
     batch_stats = variables["batch_stats"]
     print(f"params: {count_params(params) / 1e6:.2f}M")
@@ -181,6 +182,11 @@ def main(argv=None):
         if val.get("mAP50-95", 0.0) > best_map:
             best_map = val.get("mAP50-95", 0.0)
             ckpt.save((out_dir / "best").absolute(), save, force=True)
+        # newer orbax saves asynchronously; block so interpreter shutdown
+        # can't kill the committing thread (same fix as train/checkpoint.py)
+        wait = getattr(ckpt, "wait_until_finished", None)
+        if wait is not None:
+            wait()
     return 0
 
 

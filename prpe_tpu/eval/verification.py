@@ -46,6 +46,9 @@ def verification_accuracy(
     scores = cosine_similarity(emb_a, emb_b)
     same = np.asarray(same, bool)
     n = len(scores)
+    # fewer pairs than folds would produce empty test folds (NaN fold means);
+    # clamp, degenerating to leave-one-out for tiny pair sets
+    n_folds = max(1, min(n_folds, n))
     idx = np.arange(n)
     folds = np.array_split(idx, n_folds)
     thresholds = np.linspace(-1.0, 1.0, 401)
@@ -53,7 +56,9 @@ def verification_accuracy(
     accs, thrs = [], []
     for k in range(n_folds):
         test = folds[k]
-        train = np.concatenate([folds[j] for j in range(n_folds) if j != k])
+        others = [folds[j] for j in range(n_folds) if j != k]
+        # single-fold degenerate case: fit the threshold on the test fold
+        train = np.concatenate(others) if others else test
         _, thr = best_threshold_accuracy(scores[train], same[train], thresholds)
         accs.append(((scores[test] >= thr) == same[test]).mean())
         thrs.append(thr)
