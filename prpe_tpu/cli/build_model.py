@@ -58,8 +58,18 @@ def build_variables(component_dir: pathlib.Path, cfg=None, log=print, dtype=None
         log(f"[fresh init] backbone (no {rn_path})")
 
     # --- YOLO branches (head surgery keeps all but final cls conv) -------- #
+    # The reference builds BOTH branches from yolo11n.pt even though its
+    # downloader fetches yolov11n-face.pt (training/modify_models.py:197 vs
+    # scripts/download_models.py:11 — a quirk, SURVEY.md §7). We implement
+    # the intended behavior: the face branch prefers the face weights and
+    # falls back to the person weights to match the reference.
+    face_candidates = ["yolov11n-face.pt", "yolo11n.pt"]
+    face_file = next(
+        (f for f in face_candidates if (component_dir / f).exists()),
+        face_candidates[-1],
+    )
     for branch, fname in (("yolo_person", "yolo11n.pt"),
-                          ("yolo_face", "yolo11n.pt")):
+                          ("yolo_face", face_file)):
         yp = component_dir / fname
         if yp.exists():
             ckpt = load_torch(yp)
