@@ -57,7 +57,11 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name=name)
+        def ln(name):
+            mod = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name=name)
+            # materialize the normalized activations instead of letting XLA
+            # fuse the fp32 LN reductions in as the GEMM's producer
+            return lambda v: jax.lax.optimization_barrier(mod(v))
         x = x + MHSA(self.hidden, self.heads, dtype=self.dtype, name="attn")(ln("ln1")(x))
         y = ln("ln2")(x)
         y = nn.Dense(self.hidden * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
