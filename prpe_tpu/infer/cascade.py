@@ -121,12 +121,19 @@ def build_cascade_runner(
     cascade_cfg: CascadeConfig = CascadeConfig(),
     *,
     pose_capacity: Optional[int] = None,
+    mesh=None,
 ):
     """Returns jitted run(variables, images, gallery) -> CascadeResult.
 
     Args:
       images: (B, S, S, 3) RGB in [0, 1].
       gallery: (G_ids, 512) L2-normalized enrolled identity embeddings.
+      mesh: optional jax.sharding.Mesh with a "data" axis — scale-out
+        serving: the image batch shards over `data` (weights/gallery
+        replicated) and GSPMD inserts the cross-chip collectives for the
+        batch-global top-F/top-G compactions. Replaces nothing in the
+        reference (it has no serving path at all); per-chip batch should be
+        the single-chip knee (see bench.py).
     """
     det = model.detection
     pose_cfg = model.pose_cfg
@@ -229,4 +236,11 @@ def build_cascade_runner(
             pose_valid=slot_valid,
         )
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(run, in_shardings=(replicated, batch_sharded, replicated))

@@ -53,3 +53,31 @@ def test_cascade_ungated_runs_pose(cascade):
     n_valid_persons = int(res.persons.valid.sum())
     assert int(res.pose_valid.sum()) == min(3, n_valid_persons)
     assert np.isfinite(np.asarray(res.pose_keypoints)).all()
+
+
+def test_cascade_sharded_matches_single_device(cascade):
+    """Data-parallel serving: batch sharded over an 8-device mesh produces
+    the same results as the single-device program."""
+    from prpe_tpu.core.config import MeshConfig
+    from prpe_tpu.parallel.mesh import build_mesh
+
+    model, variables = cascade
+    cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False)
+    images = jax.random.uniform(jax.random.key(5), (8, 128, 128, 3))
+    gallery = jnp.zeros((2, 512))
+
+    base = build_cascade_runner(model, cfg, pose_capacity=4)(
+        variables, images, gallery)
+
+    mesh = build_mesh(MeshConfig(model_parallel=1))
+    sharded = build_cascade_runner(model, cfg, pose_capacity=4, mesh=mesh)(
+        variables, images, gallery)
+
+    for name, a, b in zip(base._fields[:1], [base.persons.boxes],
+                          [sharded.persons.boxes]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(base.pose_keypoints),
+                               np.asarray(sharded.pose_keypoints), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(base.pose_valid),
+                                  np.asarray(sharded.pose_valid))
