@@ -104,3 +104,83 @@ def test_conflict_resolves_to_max_iou():
         np.asarray(res.target_bboxes[0, 0]), [20, 20, 44, 44]
     )
     assert int(np.asarray(res.target_scores[0, 0]).argmax()) == 0
+
+
+def test_assigner_matches_naive_reference(rng):
+    """Golden: the vectorized assigner vs a loop-based transcription of the
+    reference algorithm (training/yolopt/util.py:482-574)."""
+    from prpe_tpu.ops.boxes import ciou as ciou_op
+
+    nc, top_k, alpha, beta, eps = 3, 4, 0.5, 6.0, 1e-9
+    ap, st = anchor_ops.make_anchors([(8, 8)], [8])
+    ap_abs = np.asarray(ap) * 8.0
+    a = ap_abs.shape[0]
+    b, m = 2, 5
+
+    cxy = rng.uniform(8, 56, size=(b, m, 2))
+    wh = rng.uniform(10, 40, size=(b, m, 2))
+    gt_boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    gt_labels = rng.integers(0, nc, size=(b, m))
+    gt_mask = np.ones((b, m), bool)
+    gt_mask[:, -1] = False
+    pd_cxy = ap_abs[None] + rng.normal(0, 2, (b, a, 2))
+    pd_wh = rng.uniform(8, 48, size=(b, a, 2))
+    pd_boxes = np.concatenate([pd_cxy - pd_wh / 2, pd_cxy + pd_wh / 2], -1).astype(np.float32)
+    pd_scores = rng.uniform(0.01, 0.99, size=(b, a, nc)).astype(np.float32)
+
+    got = jax.jit(
+        lambda *args: assigner.assign(
+            *args, num_classes=nc, top_k=top_k, alpha=alpha, beta=beta)
+    )(jnp.asarray(pd_scores), jnp.asarray(pd_boxes), jnp.asarray(ap_abs),
+      jnp.asarray(gt_labels), jnp.asarray(gt_boxes), jnp.asarray(gt_mask))
+
+    pair_ciou = np.clip(np.asarray(
+        ciou_op(jnp.asarray(gt_boxes)[:, :, None, :],
+                jnp.asarray(pd_boxes)[:, None, :, :])), 0.0, None)
+
+    for bi in range(b):
+        # candidate mask + alignment metric, per gt
+        cand = np.zeros((m, a)); metric = np.zeros((m, a)); ovl = np.zeros((m, a))
+        for mi in range(m):
+            if not gt_mask[bi, mi]:
+                continue
+            x1, y1, x2, y2 = gt_boxes[bi, mi]
+            inside = ((ap_abs[:, 0] - x1 > eps) & (ap_abs[:, 1] - y1 > eps)
+                      & (x2 - ap_abs[:, 0] > eps) & (y2 - ap_abs[:, 1] > eps))
+            cand[mi] = inside
+            ovl[mi] = pair_ciou[bi, mi] * inside
+            s = pd_scores[bi, :, gt_labels[bi, mi]] * inside
+            metric[mi] = s**alpha * ovl[mi]**beta
+        # per-gt top-k, drop anchors chosen twice within one gt's k slots
+        mask_pos = np.zeros((m, a))
+        for mi in range(m):
+            if not gt_mask[bi, mi]:
+                continue
+            order = np.argsort(-metric[mi], kind="stable")[:top_k]
+            cnt = np.bincount(order, minlength=a)
+            mask_pos[mi] = (cnt == 1) * cand[mi]
+        # multi-gt anchors -> max-overlap gt wins
+        for ai in range(a):
+            if mask_pos[:, ai].sum() > 1:
+                win = int(np.argmax(ovl[:, ai]))
+                mask_pos[:, ai] = 0
+                mask_pos[win, ai] = 1
+        fg = mask_pos.sum(0) > 0
+        np.testing.assert_array_equal(np.asarray(got.fg_mask[bi]), fg)
+        # assigned gt + its box
+        tgt = mask_pos.argmax(0)
+        np.testing.assert_allclose(
+            np.asarray(got.target_bboxes[bi]), gt_boxes[bi][tgt], atol=1e-5)
+        # normalized target scores
+        am = metric * mask_pos
+        want_scores = np.zeros((a, nc))
+        for ai in range(a):
+            if not fg[ai]:
+                continue
+            mi = tgt[ai]
+            pos_align = am[mi].max()
+            pos_ovl = (ovl[mi] * mask_pos[mi]).max()
+            norm = (am[:, ai] * pos_ovl / (pos_align + eps)).max()
+            want_scores[ai, gt_labels[bi, mi]] = norm
+        np.testing.assert_allclose(
+            np.asarray(got.target_scores[bi]), want_scores, atol=1e-4)
