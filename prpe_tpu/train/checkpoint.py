@@ -118,6 +118,17 @@ class CheckpointManager:
                 raise FileNotFoundError(f"no checkpoints under {self.dir}")
             path, entry = latest
         else:
-            entry = {}
-        restored = self._ckpt.restore(Path(path), target)
+            p = Path(path)
+            # bare checkpoint names (the reference CLI convention) resolve
+            # against the manager's directory
+            if not p.is_absolute() and not p.exists():
+                p = self.dir / p
+            # recover epoch/last_task bookkeeping for the named checkpoint —
+            # without it resume silently restarts from epoch 0
+            meta = self._meta()
+            entry = next(
+                (e for e in meta["checkpoints"] if e["name"] == p.name), {}
+            )
+            path = p
+        restored = self._ckpt.restore(Path(path).absolute(), target)
         return restored, entry
