@@ -140,3 +140,15 @@ def test_round_robin_end_to_end(setup, tmp_path):
     a = jax.tree_util.tree_leaves(out["state"].params)[0]
     b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # resume by BARE checkpoint name (the documented CLI convention) must
+    # resolve against the checkpoint dir AND recover epoch bookkeeping
+    import json as _json
+    meta = _json.loads((tmp_path / "ckpt" / "meta.json").read_text())
+    first_name = meta["checkpoints"][0]["name"]
+    trainer3 = RoundRobinTrainer(
+        model, cfg, tcfg, jax.tree_util.tree_map(jnp.copy, variables),
+        loaders, log_dir=str(tmp_path / "logs3"),
+    )
+    trainer3.resume(first_name)
+    assert trainer3.start_epoch == meta["checkpoints"][0]["epoch"] + 1
