@@ -198,6 +198,10 @@ class CascadeConfig:
     match_threshold: float = 0.4
     # run pose only for persons whose face matched an enrolled identity
     gate_pose: bool = True
+    # horizontal flip-test averaging on the pose stage (the reference's
+    # eval-time accuracy trick, training/lightning/pose_estimation/
+    # module.py:468-484) — doubles the ViTPose cost, off for serving
+    pose_flip_test: bool = False
     # total IR-50 face-embedding slots across the whole batch: the top-F
     # face detections by score are compacted into a fixed (F, 112, 112, 3)
     # buffer (same static-shape compaction as the pose stage) instead of

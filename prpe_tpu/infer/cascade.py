@@ -213,6 +213,15 @@ def build_cascade_runner(
         pose_crops = crop_and_resize_batch(images, slot_boxes, slot_img, (ph, pw))
         pose_crops = (pose_crops - IMAGENET_MEAN) / IMAGENET_STD
         heatmaps = model.apply(variables, pose_crops, method="pose")
+        if cascade_cfg.pose_flip_test:
+            # average with the horizontally-flipped forward (L/R channels
+            # swapped back) — reference: pose_estimation/module.py:468-484
+            from prpe_tpu.ops.heatmap import flip_heatmaps
+
+            hm_flip = model.apply(
+                variables, jnp.flip(pose_crops, axis=2), method="pose"
+            )
+            heatmaps = (heatmaps + flip_heatmaps(hm_flip)) * 0.5
         coords, kscores = decode_heatmaps(
             heatmaps.astype(jnp.float32), boxes=slot_boxes
         )  # normalized within crop

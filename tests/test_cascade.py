@@ -81,3 +81,25 @@ def test_cascade_sharded_matches_single_device(cascade):
                                np.asarray(sharded.pose_keypoints), atol=1e-3)
     np.testing.assert_array_equal(np.asarray(base.pose_valid),
                                   np.asarray(sharded.pose_valid))
+
+
+def test_cascade_pose_flip_test(cascade):
+    """Flip-test averaging runs and is a no-op on horizontally symmetric
+    heatmap inputs only in expectation — here we just check shapes/finiteness
+    and that it differs from the single-pass result on random weights."""
+    model, variables = cascade
+    images = jax.random.uniform(jax.random.key(7), (2, 128, 128, 3))
+    gallery = jnp.zeros((1, 512))
+    base_cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False)
+    flip_cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False,
+                             pose_flip_test=True)
+    base = build_cascade_runner(model, base_cfg, pose_capacity=3)(
+        variables, images, gallery)
+    flip = build_cascade_runner(model, flip_cfg, pose_capacity=3)(
+        variables, images, gallery)
+    assert np.all(np.isfinite(np.asarray(flip.pose_keypoints)))
+    # same slots selected; keypoints differ (random weights are asymmetric)
+    np.testing.assert_array_equal(np.asarray(base.pose_valid),
+                                  np.asarray(flip.pose_valid))
+    assert not np.allclose(np.asarray(base.pose_keypoints),
+                           np.asarray(flip.pose_keypoints))
