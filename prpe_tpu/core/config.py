@@ -196,6 +196,9 @@ class CascadeConfig:
     max_faces: int = 8
     # cosine-similarity gate threshold for identity match
     match_threshold: float = 0.4
+    # detection confidence gate for serving (the eval path uses the
+    # reference's 1e-3; serving wants far fewer candidates)
+    conf_threshold: float = 0.25
     # run pose only for persons whose face matched an enrolled identity
     gate_pose: bool = True
     # horizontal flip-test averaging on the pose stage (the reference's

@@ -93,6 +93,11 @@ class CascadeResult(NamedTuple):
     face_similarity: jnp.ndarray  # (B, Kf) best cosine similarity (-1 for
     # slots outside the top-F embedding budget, see CascadeConfig.face_capacity)
     person_gated: jnp.ndarray  # (B, Kp) bool — matched identity inside box
+    # () bool — True when valid face detections exceeded the top-F embedding
+    # budget (CascadeConfig.face_capacity): some faces got similarity -1 /
+    # no identity without being scored. Callers on crowded workloads should
+    # re-run with a larger face_capacity when this fires.
+    face_budget_saturated: jnp.ndarray
     # pose slots (G = pose capacity across the batch):
     pose_image_idx: jnp.ndarray  # (G,)
     pose_boxes: jnp.ndarray  # (G, 4) person box of each slot
@@ -157,12 +162,14 @@ def build_cascade_runner(
         face_maps = model.apply(variables, x_det, method="detect_face")
         person_det = nms_ops.non_max_suppression(
             decode_predictions(person_maps, det.num_classes, det.reg_max),
-            conf_threshold=0.25, iou_threshold=det.iou_threshold,
+            conf_threshold=cascade_cfg.conf_threshold,
+            iou_threshold=det.iou_threshold,
             max_det=kp, pre_nms_top_k=nms_k,
         )
         face_det = nms_ops.non_max_suppression(
             decode_predictions(face_maps, det.num_classes, det.reg_max),
-            conf_threshold=0.25, iou_threshold=det.iou_threshold,
+            conf_threshold=cascade_cfg.conf_threshold,
+            iou_threshold=det.iou_threshold,
             max_det=kf, pre_nms_top_k=nms_k,
         )
 
@@ -195,6 +202,9 @@ def build_cascade_runner(
         ).reshape(b, kf)
         matched = (best_sim > cascade_cfg.match_threshold) & face_det.valid
         face_identity = jnp.where(matched, best_id, -1)
+        # budget saturation: more valid faces than embedding slots means some
+        # were never scored against the gallery (silently unmatched otherwise)
+        face_budget_saturated = face_det.valid.sum() > f_slots
 
         # ---- stage 3: gate persons by contained matched faces -------------
         if cascade_cfg.gate_pose:
@@ -238,6 +248,7 @@ def build_cascade_runner(
             face_identity=face_identity,
             face_similarity=best_sim,
             person_gated=gated,
+            face_budget_saturated=face_budget_saturated,
             pose_image_idx=jnp.where(slot_valid, slot_img, -1),
             pose_boxes=slot_boxes,
             pose_keypoints=kpts,

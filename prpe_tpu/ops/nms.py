@@ -104,8 +104,14 @@ def _nms_batched(
     top_classes = jnp.take_along_axis(classes, top_idx, axis=-1)
     valid = top_scores > conf_threshold
 
-    # class-offset trick: boxes of different classes never overlap
-    off_boxes = top_boxes + top_classes.astype(boxes.dtype)[..., None] * max_wh
+    # class-offset trick: boxes of different classes never overlap. The
+    # offset math must be fp32: with bf16 boxes and nc > 1, offsets up to
+    # class_id * 7680 land where bf16 spacing is ~4096 px, collapsing
+    # same-class boxes to identical coordinates (advisor finding, round 1).
+    off_boxes = (
+        top_boxes.astype(jnp.float32)
+        + top_classes.astype(jnp.float32)[..., None] * max_wh
+    )
 
     from prpe_tpu.ops.pallas.nms_kernel import MAX_PALLAS_K, pallas_greedy_nms
 

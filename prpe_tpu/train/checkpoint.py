@@ -124,11 +124,21 @@ class CheckpointManager:
             if not p.is_absolute() and not p.exists():
                 p = self.dir / p
             # recover epoch/last_task bookkeeping for the named checkpoint —
-            # without it resume silently restarts from epoch 0
+            # without it resume silently restarts from epoch 0. best_* names
+            # live in meta["best"], not meta["checkpoints"] (advisor finding).
             meta = self._meta()
             entry = next(
-                (e for e in meta["checkpoints"] if e["name"] == p.name), {}
+                (e for e in meta["checkpoints"] if e["name"] == p.name), None
             )
+            if entry is None:
+                entry = next(
+                    (
+                        {"name": b["name"], "epoch": b["epoch"], "last_task": task}
+                        for task, b in meta["best"].items()
+                        if b["name"] == p.name
+                    ),
+                    {},
+                )
             path = p
         restored = self._ckpt.restore(Path(path).absolute(), target)
         return restored, entry

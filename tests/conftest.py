@@ -14,26 +14,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # service (slow; poisons the persistent cache with machine-mismatched AOT)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-def _known_xla_flags(*names):
-    """Filter to flags the installed jaxlib actually knows.
 
-    An unknown name in XLA_FLAGS is a *fatal* glog abort before pytest can
-    print anything (this bit us when jaxlib renamed
-    xla_cpu_collective_call_warn_stuck_seconds) — probe the binaries instead
-    of trusting the spelling."""
-    import glob
+import sys
 
-    try:
-        import jaxlib
-
-        blobs = []
-        root = os.path.dirname(jaxlib.__file__)
-        for so in glob.glob(os.path.join(root, "**", "*.so*"), recursive=True):
-            with open(so, "rb") as f:
-                blobs.append(f.read())
-        return [n for n in names if any(n.encode() in b for b in blobs)]
-    except Exception:
-        return []
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+from _xla_env import known_xla_flags as _known_xla_flags  # noqa: E402
 
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -54,6 +41,13 @@ os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+
+# Belt and braces: if the axon sitecustomize already imported jax at
+# interpreter start (PYTHONPATH=/root/.axon_site), JAX_PLATFORMS=axon was
+# latched into jax.config before this file ran — the env write above is then
+# a no-op and the whole suite silently runs on the remote TPU relay (slow,
+# bf16-default matmuls break fp32 golden tests). Re-assert via the config.
+jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compile cache: repeated suite runs skip recompilation.
 # Repo-local (survives across sessions, unlike /tmp) and SHARED with

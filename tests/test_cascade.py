@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-cascade compiles are multi-minute on CPU
+
 from prpe_tpu.core.config import CascadeConfig, DetectionConfig, PoseConfig
 from prpe_tpu.infer.cascade import CascadeModel, build_cascade_runner
 
@@ -84,15 +86,17 @@ def test_cascade_sharded_matches_single_device(cascade):
 
 
 def test_cascade_pose_flip_test(cascade):
-    """Flip-test averaging runs and is a no-op on horizontally symmetric
-    heatmap inputs only in expectation — here we just check shapes/finiteness
-    and that it differs from the single-pass result on random weights."""
+    """Flip-test averaging runs and differs from the single-pass result on
+    random (asymmetric) weights. conf_threshold=0 makes detections
+    deterministic — random-init scores need not cross the serving 0.25 gate
+    on every host (round-1 flake)."""
     model, variables = cascade
     images = jax.random.uniform(jax.random.key(7), (2, 128, 128, 3))
     gallery = jnp.zeros((1, 512))
-    base_cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False)
+    base_cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False,
+                             conf_threshold=0.0)
     flip_cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False,
-                             pose_flip_test=True)
+                             conf_threshold=0.0, pose_flip_test=True)
     base = build_cascade_runner(model, base_cfg, pose_capacity=3)(
         variables, images, gallery)
     flip = build_cascade_runner(model, flip_cfg, pose_capacity=3)(
@@ -101,5 +105,27 @@ def test_cascade_pose_flip_test(cascade):
     # same slots selected; keypoints differ (random weights are asymmetric)
     np.testing.assert_array_equal(np.asarray(base.pose_valid),
                                   np.asarray(flip.pose_valid))
+    assert bool(np.asarray(base.pose_valid).any()), (
+        "conf_threshold=0 must yield detections (sigmoid scores > 0)")
     assert not np.allclose(np.asarray(base.pose_keypoints),
                            np.asarray(flip.pose_keypoints))
+
+
+def test_cascade_face_budget_saturation_flag(cascade):
+    """face_budget_saturated fires iff valid faces exceed the top-F budget."""
+    model, variables = cascade
+    images = jax.random.uniform(jax.random.key(9), (2, 128, 128, 3))
+    gallery = jnp.zeros((1, 512))
+    cfg = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False,
+                        conf_threshold=0.0, face_capacity=1)
+    res = build_cascade_runner(model, cfg, pose_capacity=3)(
+        variables, images, gallery)
+    n_valid = int(res.faces.valid.sum())
+    assert bool(res.face_budget_saturated) == (n_valid > 1)
+    assert n_valid > 1  # conf 0 -> all 8 slots valid -> must be saturated
+
+    roomy = CascadeConfig(max_persons=4, max_faces=4, gate_pose=False,
+                          conf_threshold=0.0, face_capacity=8)
+    res2 = build_cascade_runner(model, roomy, pose_capacity=3)(
+        variables, images, gallery)
+    assert not bool(res2.face_budget_saturated)

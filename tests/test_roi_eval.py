@@ -37,6 +37,25 @@ def test_crop_batch_indexing():
     np.testing.assert_allclose(out[:, 0, 0, 0], [2, 0, 1])
 
 
+def test_crop_bf16_close_to_fp32():
+    """bf16 serving path: interpolation weights quantize to ~2^-8, so bf16
+    crops must stay within bf16 resolution of the fp32 crop (advisor
+    finding: the golden bilinear test only covered fp32)."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    boxes = np.array([[3.2, 7.9, 45.5, 60.1], [10.0, 0.0, 64.0, 31.7]],
+                     np.float32)
+    idx = np.array([0, 1])
+    ref = np.asarray(crop_and_resize_batch(
+        jnp.asarray(img), jnp.asarray(boxes), jnp.asarray(idx), (112, 112)))
+    out = np.asarray(crop_and_resize_batch(
+        jnp.asarray(img, jnp.bfloat16), jnp.asarray(boxes), jnp.asarray(idx),
+        (112, 112))).astype(np.float32)
+    # pixel values in [0,1]: bf16 has 8 mantissa bits -> ~2^-8 quantization,
+    # two chained contractions roughly double it
+    assert np.abs(out - ref).max() < 2.5 / 256
+
+
 # --------------------------------------------------------------------------
 # detection mAP
 # --------------------------------------------------------------------------

@@ -4,6 +4,8 @@ round-robin orchestrator runs end-to-end with checkpointing + resume."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # per-task train-step compiles, minutes on CPU
+
 import jax
 import jax.numpy as jnp
 
@@ -152,3 +154,14 @@ def test_round_robin_end_to_end(setup, tmp_path):
     )
     trainer3.resume(first_name)
     assert trainer3.start_epoch == meta["checkpoints"][0]["epoch"] + 1
+
+    # resume by a best_* checkpoint name: its entry lives in meta["best"],
+    # not meta["checkpoints"] — must still recover epoch bookkeeping
+    # (advisor finding: silently restarted at epoch 0)
+    best_task, best_entry = next(iter(meta["best"].items()))
+    trainer4 = RoundRobinTrainer(
+        model, cfg, tcfg, jax.tree_util.tree_map(jnp.copy, variables),
+        loaders, log_dir=str(tmp_path / "logs4"),
+    )
+    trainer4.resume(best_entry["name"])
+    assert trainer4.start_epoch == best_entry["epoch"] + 1
