@@ -61,15 +61,16 @@ def _ln(sd, prefix):
 # ResNet-50 trunk  (torchvision resnet50 state dict)
 # --------------------------------------------------------------------------
 
-def port_resnet50(sd: Mapping[str, Any]) -> Dict[str, Any]:
+def port_resnet50(
+    sd: Mapping[str, Any], stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+) -> Dict[str, Any]:
     """torchvision resnet50 -> ResNetTrunk variables (fc/avgpool ignored,
-    matching the truncation at reference training/modify_models.py:413-437)."""
+    matching the truncation at reference training/modify_models.py:413-437).
+    ``stage_sizes`` supports reduced-depth trunks in tests."""
     params: Dict[str, Any] = {"conv1": {"kernel": conv_w(sd, "conv1.weight")}}
     stats: Dict[str, Any] = {}
     p, s = _bn(sd, "bn1")
     params["bn1"], stats["bn1"] = p, s
-
-    stage_sizes = (3, 4, 6, 3)
     for stage, n in enumerate(stage_sizes):
         for block in range(n):
             t = f"layer{stage + 1}.{block}"
@@ -351,6 +352,104 @@ def port_yolo(sd: Mapping[str, Any], variant: str = "n") -> Dict[str, Any]:
             }
     params["head"], stats["head"] = head_p, head_s
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Combined-model component porting: consumes the state dicts the reference's
+# build step saves (custom_yolo.pth / custom_ada_face.pth / custom_vit_pose.pth
+# / resnet_feature_extractor.pth / combined_model.pth — reference:
+# training/modify_models.py:201-204,327-329,404-406,449-451,531-532)
+# --------------------------------------------------------------------------
+
+# torch Sequential conv indices -> flax _ConvBNAct child names, per adapter
+# flavor (reference: training/modify_models.py:40-71 yolo, :230-252 adaface,
+# :352-374 vitpose; adaface/vitpose share one index layout)
+_ADAPTER_LAYOUT = {
+    "yolo": ((0, "reduce"), (4, "spatial"), (7, "down1"), (10, "down2"),
+             (13, "down3"), (16, "out")),
+    "simple": ((0, "reduce"), (4, "down1"), (7, "down2"), (10, "out")),
+}
+
+
+def port_adapter(
+    sd: Mapping[str, Any], prefix: str = "adapter",
+    flavor: str = "simple", prelu: bool = False,
+) -> Dict[str, Any]:
+    """torch adapter ``nn.Sequential`` -> flax adapter variables.
+
+    The adapters are new modules in the reference too (initialized at graft
+    time), so this path only matters when round-tripping the reference's
+    saved ``custom_*.pth`` component snapshots.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for idx, name in _ADAPTER_LAYOUT[flavor]:
+        p: Dict[str, Any] = {"conv": {
+            "kernel": conv_w(sd, f"{prefix}.{idx}.weight"),
+            "bias": _np(sd[f"{prefix}.{idx}.bias"]),
+        }}
+        bnp, bns = _bn(sd, f"{prefix}.{idx + 1}")
+        p["bn"] = bnp
+        if prelu:
+            p["prelu"] = {"alpha": _np(sd[f"{prefix}.{idx + 2}.weight"])}
+        params[name] = p
+        stats[name] = {"bn": bns}
+    return {"params": params, "batch_stats": stats}
+
+
+def _subdict(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    pl = len(prefix) + 1
+    return {k[pl:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+
+def port_combined(
+    sd: Mapping[str, Any],
+    num_layers: int = 50,
+    mode: str = "ir",
+    variant: str = "n",
+    backbone_stages: Tuple[int, ...] = (3, 4, 6, 3),
+) -> Dict[str, Any]:
+    """Reference ``CombinedModel.state_dict()`` -> flax CombinedModel variables.
+
+    Key prefixes follow the reference's attribute names
+    (training/modify_models.py:462-480): ``backbone.*``,
+    ``yolo_{person,face}.{adapter,yolo}.*``,
+    ``ada_face.{adapter,adaface_model,head}.*``,
+    ``vit_pose.{adapter,vit_pose}.*``. The AdaFace margin head contributes
+    the ``face_kernel`` param and the margin EMA buffers
+    (libs/head_adaface.py:56-69).
+    """
+    sd = to_numpy_state_dict(sd)
+    out_p: Dict[str, Any] = {}
+    out_s: Dict[str, Any] = {}
+
+    bb = port_resnet50(_subdict(sd, "backbone"), backbone_stages)
+    out_p["backbone"], out_s["backbone"] = bb["params"], bb["batch_stats"]
+
+    for branch in ("yolo_person", "yolo_face"):
+        bsd = _subdict(sd, branch)
+        ad = port_adapter(bsd, "adapter", "yolo")
+        yo = port_yolo(_subdict(bsd, "yolo"), variant)
+        out_p[f"{branch}_adapter"] = ad["params"]
+        out_s[f"{branch}_adapter"] = ad["batch_stats"]
+        out_p[branch], out_s[branch] = yo["params"], yo["batch_stats"]
+
+    fsd = _subdict(sd, "ada_face")
+    ad = port_adapter(fsd, "adapter", "simple", prelu=True)
+    ir = port_irnet(_subdict(fsd, "adaface_model"), num_layers, mode)
+    out_p["ada_face_adapter"], out_s["ada_face_adapter"] = ad["params"], ad["batch_stats"]
+    out_p["ada_face"], out_s["ada_face"] = ir["params"], ir["batch_stats"]
+    out_p["face_kernel"] = _np(fsd["head.kernel"])
+    out_s["margin_mean"] = _np(fsd["head.batch_mean"]).reshape(()).astype(np.float32)
+    out_s["margin_std"] = _np(fsd["head.batch_std"]).reshape(()).astype(np.float32)
+
+    psd = _subdict(sd, "vit_pose")
+    ad = port_adapter(psd, "adapter", "simple")
+    vp = port_vitpose(_subdict(psd, "vit_pose"))
+    out_p["vit_pose_adapter"], out_s["vit_pose_adapter"] = ad["params"], ad["batch_stats"]
+    out_p["vit_pose"] = vp["params"]
+
+    return {"params": out_p, "batch_stats": out_s}
 
 
 def merge_variables(base: Dict[str, Any], ported: Dict[str, Any]) -> Dict[str, Any]:
