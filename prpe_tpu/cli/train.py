@@ -127,6 +127,19 @@ def main(argv=None):
     ap.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable backbone rematerialization (needs more HBM)")
+    # multi-chip: (data, model) mesh over all visible devices. DDP+SyncBN
+    # equivalence is tested in tests/test_sharding.py (reference semantics:
+    # training/yolopt/main.py:46-60)
+    ap.add_argument("--data-parallel", type=int, default=0,
+                    help="data-axis size; -1 = fill all devices; 0 = no mesh")
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="model-axis size (shards the AdaFace classifier)")
+    # multi-host rendezvous (reference: torch.distributed env:// init,
+    # training/yolopt/main.py:271-277)
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address for multi-host jax.distributed")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -136,10 +149,16 @@ def main(argv=None):
 
     from prpe_tpu.cli.build_model import build_variables
     from prpe_tpu.core.config import (
-        CombinedModelConfig, OptimConfig, PoseConfig, TaskConfig, TrainConfig,
-        default_task_configs,
+        CombinedModelConfig, MeshConfig, OptimConfig, PoseConfig, TaskConfig,
+        TrainConfig, default_task_configs,
     )
     from prpe_tpu.train.round_robin import RoundRobinTrainer
+
+    if args.coordinator or args.num_processes:
+        from prpe_tpu.parallel import distributed
+
+        distributed.initialize(args.coordinator, args.num_processes,
+                               args.process_id)
 
     cfg = CombinedModelConfig(
         image_size=args.image_size,
@@ -165,8 +184,29 @@ def main(argv=None):
     )
 
     loaders = build_task_loaders(args, cfg)
-    variables = {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in variables.items()}
-    trainer = RoundRobinTrainer(model, cfg, tcfg, variables, loaders, log_dir=args.log_dir)
+    mesh = None
+    if args.data_parallel != 0 or args.model_parallel > 1:
+        from prpe_tpu.parallel.mesh import (
+            build_mesh, make_param_shardings, replicated,
+        )
+
+        mesh = build_mesh(MeshConfig(
+            data_parallel=args.data_parallel if args.data_parallel else -1,
+            model_parallel=args.model_parallel,
+        ))
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        variables = {
+            "params": jax.device_put(
+                variables["params"],
+                make_param_shardings(mesh, variables["params"])),
+            "batch_stats": jax.device_put(
+                variables["batch_stats"], replicated(mesh)),
+        }
+    else:
+        variables = {k: jax.tree_util.tree_map(jnp.asarray, v)
+                     for k, v in variables.items()}
+    trainer = RoundRobinTrainer(model, cfg, tcfg, variables, loaders,
+                                log_dir=args.log_dir, mesh=mesh)
     if args.resume_checkpoint:
         trainer.resume(args.resume_checkpoint)
     trainer.train()

@@ -104,6 +104,26 @@ class RoundRobinTrainer:
         self._rng = jax.random.key(train_cfg.seed)
 
     # ----------------------------------------------------------------- #
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
+
+    def _put_batch(self, batch):
+        """Constrain a host batch to the mesh's batch sharding (the
+        DistributedSampler + DDP scatter equivalent)."""
+        if self.mesh is None:
+            return batch
+        import jax.numpy as jnp
+
+        from prpe_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            batch_sharding(self.mesh),
+        )
+
+    # ----------------------------------------------------------------- #
     def resume(self, path: Optional[str] = None):
         """Restore state + epoch bookkeeping
         (reference: round_robin_trainer.py:375-393)."""
@@ -121,12 +141,14 @@ class RoundRobinTrainer:
         tracker = MetricTracker()
         t0 = time.time()
         n_images = 0
-        for batch in rt.train_loader(epoch):
-            self._rng, step_rng = jax.random.split(self._rng)
-            self.state, metrics = rt.train_step(self.state, batch, step_rng)
-            bs = next(iter(batch.values())).shape[0]
-            n_images += bs
-            tracker.update(jax.device_get(metrics), bs)
+        with self._mesh_ctx():
+            for batch in rt.train_loader(epoch):
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.state, metrics = rt.train_step(
+                    self.state, self._put_batch(batch), step_rng)
+                bs = next(iter(batch.values())).shape[0]
+                n_images += bs
+                tracker.update(jax.device_get(metrics), bs)
         means = {f"train/{k}": v for k, v in tracker.means().items()}
         dt = time.time() - t0
         means["train/images_per_sec"] = n_images / max(dt, 1e-9)
@@ -139,11 +161,12 @@ class RoundRobinTrainer:
         tracker = MetricTracker()
         outputs = []
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        for batch in rt.val_loader(epoch):
-            metrics, preds = rt.eval_step(variables, batch)
-            bs = next(iter(batch.values())).shape[0]
-            tracker.update(jax.device_get(metrics), bs)
-            outputs.append((jax.device_get(preds), batch))
+        with self._mesh_ctx():
+            for batch in rt.val_loader(epoch):
+                metrics, preds = rt.eval_step(variables, self._put_batch(batch))
+                bs = next(iter(batch.values())).shape[0]
+                tracker.update(jax.device_get(metrics), bs)
+                outputs.append((jax.device_get(preds), batch))
         means = {f"val/{k}": v for k, v in tracker.means().items()}
         if rt.eval_hook is not None:
             means.update({f"val/{k}": v for k, v in rt.eval_hook(outputs).items()})

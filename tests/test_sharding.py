@@ -58,6 +58,143 @@ def test_sharded_margin_matmul_matches_replicated():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+"""Train-step sharded-vs-single-device parity (round-1 verdict item 4).
+
+Nothing short of "the 8-device data-parallel step produces the same params
+as the 1-device step" demonstrates DDP correctness (reference semantics
+being replaced: training/yolopt/main.py:46-60 — DDP allreduce grads +
+SyncBatchNorm). The tiny model config matches __graft_entry__'s dryrun so
+the persistent compile cache is shared."""
+
+
+@pytest.fixture(scope="module")
+def tiny_train_setup():
+    import jax.numpy as jnp
+
+    from prpe_tpu.core.config import (
+        AdaFaceConfig, CombinedModelConfig, DetectionConfig, OptimConfig,
+        PoseConfig,
+    )
+    from prpe_tpu.data import synthetic
+    from prpe_tpu.models.combined import CombinedModel
+    from prpe_tpu.train.optim import build_optimizer
+
+    cfg = CombinedModelConfig(
+        image_size=64,
+        backbone_stages=(1, 1, 1, 1),
+        detection=DetectionConfig(adapter_size=(32, 32), max_gt=4),
+        face=AdaFaceConfig(arch="ir_18", num_classes=64),
+        pose=PoseConfig(input_size=(32, 32), heatmap_size=(8, 8),
+                        vit_hidden=32, vit_layers=1, vit_heads=2),
+    )
+    model = CombinedModel(config=cfg)
+    variables = jax.device_get(jax.jit(
+        lambda k: model.init(k, jnp.zeros((2, 64, 64, 3)),
+                             jnp.zeros((2,), jnp.int32), method="init_all")
+    )(jax.random.key(0)))
+
+    rng = np.random.default_rng(7)
+    batches = {
+        "person_detection": synthetic.detection_batch(rng, 8, 64, 4),
+        "face_detection": synthetic.detection_batch(rng, 8, 64, 4),
+        "face_recognition": synthetic.face_batch(rng, 8, 64, 64),
+        "pose_estimation": synthetic.pose_batch(rng, 8, 64, 4),
+    }
+    # SGD, no weight decay: the update is LINEAR in the gradient, so
+    # "sharded grads == replicated grads" (the DDP-allreduce claim) shows up
+    # directly as allclose params. Adam's first step is ~lr*sign(m): any
+    # reduction-reorder noise on near-zero gradients flips signs and yields
+    # spurious 2*lr element diffs — it cannot certify grad parity.
+    tx = build_optimizer(OptimConfig(optimizer="sgd", learning_rate=1e-3,
+                                     weight_decay=0.0))
+    return model, cfg, variables, tx, batches
+
+
+def _one_step(model, cfg, variables, tx, task, batch, mesh=None):
+    """One donated train step from a fresh state; returns host param tree."""
+    import jax.numpy as jnp
+
+    from prpe_tpu.parallel.mesh import (
+        batch_sharding, make_param_shardings, replicated,
+    )
+    from prpe_tpu.train.state import create_train_state
+    from prpe_tpu.train.steps import make_train_step
+
+    if mesh is None:
+        params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+        stats = jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"])
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    else:
+        params = jax.device_put(
+            variables["params"], make_param_shardings(mesh, variables["params"])
+        )
+        stats = jax.device_put(variables["batch_stats"], replicated(mesh))
+        dev_batch = jax.device_put(
+            {k: jnp.asarray(v) for k, v in batch.items()}, batch_sharding(mesh)
+        )
+    state = create_train_state(
+        {"params": params, "batch_stats": stats}, {task: tx}
+    )
+    step = make_train_step(model, task, tx, cfg)
+    ctx = mesh if mesh is not None else _NullCtx()
+    with ctx:
+        new_state, metrics = step(state, dev_batch, jax.random.key(3))
+    return jax.device_get(new_state.params), float(metrics["loss"])
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task", [
+    "person_detection", "face_recognition", "pose_estimation",
+])
+def test_train_step_sharded_matches_single_device(tiny_train_setup, task):
+    """One step on 1 device vs the 4x2 (data, model) mesh — identical init
+    and batch must yield allclose updated params (face_recognition also
+    exercises the model-sharded 512xC AdaFace kernel)."""
+    model, cfg, variables, tx, batches = tiny_train_setup
+    batch = batches[task]
+
+    single_params, single_loss = _one_step(model, cfg, variables, tx, task, batch)
+    mesh = build_mesh(MeshConfig(model_parallel=2))
+    shard_params, shard_loss = _one_step(
+        model, cfg, variables, tx, task, batch, mesh=mesh
+    )
+
+    assert abs(single_loss - shard_loss) < 1e-3 * (1 + abs(single_loss))
+    flat_s = jax.tree_util.tree_leaves_with_path(single_params)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(shard_params))
+    assert len(flat_s) == len(flat_m)
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(
+            leaf, flat_m[path], rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_trainer_put_batch_shards_leading_axis():
+    """RoundRobinTrainer._put_batch constrains host batches to the data axis
+    (the DistributedSampler+DDP-scatter replacement used by cli.train's
+    --data-parallel path)."""
+    from types import SimpleNamespace
+
+    from prpe_tpu.train.round_robin import RoundRobinTrainer
+
+    mesh = build_mesh(MeshConfig(model_parallel=2))
+    b = {"image": np.zeros((8, 4, 4, 3), np.float32),
+         "label": np.zeros((8,), np.int32)}
+    out = RoundRobinTrainer._put_batch(SimpleNamespace(mesh=mesh), b)
+    assert out["image"].sharding.spec == jax.sharding.PartitionSpec("data")
+    assert RoundRobinTrainer._put_batch(SimpleNamespace(mesh=None), b) is b
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_full():
     """The driver's multi-chip validation: full train steps for all four
     tasks on a (4 data x 2 model) mesh."""
