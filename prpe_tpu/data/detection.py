@@ -127,11 +127,17 @@ class YoloMosaicDataset:
     """
 
     def __init__(self, base: YoloTxtDataset, mosaic_prob: float = 1.0,
-                 mixup_prob: float = 0.15, hsv: bool = True, seed: int = 0):
+                 mixup_prob: float = 0.15, hsv: bool = True, seed: int = 0,
+                 degrees: float = 0.0, translate: float = 0.1,
+                 scale: float = 0.5, shear: float = 0.0,
+                 visual_prob: float = 0.01):
         self.base = base
         self.mosaic_prob = mosaic_prob
         self.mixup_prob = mixup_prob
         self.hsv = hsv
+        self.affine = dict(degrees=degrees, translate=translate,
+                           scale=scale, shear=shear)
+        self.visual_prob = visual_prob
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -141,7 +147,9 @@ class YoloMosaicDataset:
         self.mosaic_prob = prob
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        from prpe_tpu.data.augment import hsv_augment, mixup, mosaic4
+        from prpe_tpu.data.augment import (
+            hsv_augment, mixup, mosaic4, random_perspective, random_visual,
+        )
 
         rng = self._rng
         size = self.base.image_size
@@ -155,10 +163,17 @@ class YoloMosaicDataset:
         if rng.random() < self.mosaic_prob:
             idxs = [idx] + list(rng.integers(0, len(self.base), 3))
             img, labels = mosaic4([one(i) for i in idxs], size, rng)
+            # affine follows mosaic, as in the reference load_mosaic
+            # (training/yolopt/dataset.py:174-176)
+            img, labels = random_perspective(img, labels, rng, **self.affine)
             if rng.random() < self.mixup_prob:
                 idxs2 = list(rng.integers(0, len(self.base), 4))
                 img2, labels2 = mosaic4([one(i) for i in idxs2], size, rng)
+                img2, labels2 = random_perspective(
+                    img2, labels2, rng, **self.affine)
                 img, labels = mixup(img, labels, img2, labels2, rng)
+            if self.visual_prob > 0:
+                img = random_visual(img, rng, self.visual_prob)
         else:
             img, labels = one(idx)
             from prpe_tpu.native import resize_bilinear_u8
