@@ -8,12 +8,16 @@ The measured config is the BASELINE.json headline: detect persons + faces at
 gating, ViTPose-B on the matched 256x192 person crops — all inside ONE jitted
 program on-device (see prpe_tpu/infer/cascade.py).
 
-``vs_baseline``: the reference repo publishes no numbers (BASELINE.md). The
-denominator used here is a documented ESTIMATE of the reference PyTorch
-pipeline on its development GPU — 25 images/sec end-to-end for the
-detect+recognize+pose cascade at batch 8 (YOLOv11-n ~1.5ms + IR-50 ~2ms +
-ViTPose-B ~25ms eager per image, plus host NMS/crop round-trips). Replace
-with a measured number when reference hardware is available.
+``vs_baseline``: the reference repo publishes no numbers and no reference
+GPU exists in this environment (BASELINE.md), so the denominator is the
+MEASURED throughput of the reference component stack — torch 2.x eager
+fp32 on this host's CPU, same-architecture transcriptions at full scale
+(2x YOLOv11-n 640^2 + IR-50 112^2 + ViTPose-B 256x192 per image, host
+NMS/crop overhead excluded in the reference's favor) — captured by
+tools/bench_reference_torch.py and recorded in BASELINE.md. The ratio is
+therefore chip-vs-host-CPU, NOT chip-vs-GPU; for the same-hardware
+framework comparison, the prpe XLA-CPU cascade on the identical host
+measures 0.871 img/s vs torch's 0.687 (1.27x) — see BASELINE.md.
 """
 
 from __future__ import annotations
@@ -21,7 +25,9 @@ from __future__ import annotations
 import json
 import time
 
-REFERENCE_CASCADE_IMG_PER_SEC = 25.0  # documented estimate; see module docstring
+# measured: tools/bench_reference_torch.py on this host (1 CPU core), 2026-08
+# per-image ms — yolo11n_640: 341.03 x2, ir50_112: 323.78, vitpose_b: 449.94
+REFERENCE_CASCADE_IMG_PER_SEC = 0.6869  # torch eager fp32 CPU composite
 
 
 def main():
