@@ -127,6 +127,10 @@ def main(argv=None):
     ap.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable backbone rematerialization (needs more HBM)")
+    ap.add_argument("--trainable", choices=("branch", "branch+backbone", "all"),
+                    default="branch",
+                    help="per-task optimizer scope; 'branch' is reference "
+                         "parity (the shared trunk is in no optimizer)")
     # multi-chip: (data, model) mesh over all visible devices. DDP+SyncBN
     # equivalence is tested in tests/test_sharding.py (reference semantics:
     # training/yolopt/main.py:46-60)
@@ -174,7 +178,8 @@ def main(argv=None):
 
     tasks = tuple(
         dataclasses.replace(
-            t, optim=OptimConfig(learning_rate=args.learning_rate)
+            t, optim=OptimConfig(learning_rate=args.learning_rate),
+            trainable=args.trainable,
         )
         for t in default_task_configs()
     )

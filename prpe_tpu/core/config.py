@@ -170,6 +170,11 @@ class TaskConfig:
     monitor_mode: str = "min"
     # optional W&B project, one per task (reference: round_robin_trainer.py:464,485,509,532)
     wandb_project: Optional[str] = None
+    # which params this task's optimizer trains: "branch" (reference parity —
+    # each task optimizer covers only its branch, the shared trunk is in NO
+    # optimizer; face_detection/module_v2.py:507-517 etc.), or
+    # "branch+backbone" / "all" to fine-tune the trunk too
+    trainable: str = "branch"
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ from prpe_tpu.train.checkpoint import CheckpointManager
 from prpe_tpu.train.metrics import MetricsLogger, MetricTracker, WandbSink, setup_logging
 from prpe_tpu.train.optim import build_optimizer
 from prpe_tpu.train.state import TrainState, create_train_state
-from prpe_tpu.train.steps import make_eval_step, make_train_step
+from prpe_tpu.train.steps import make_eval_step, make_train_step, mask_optimizer
 
 
 @dataclass
@@ -74,8 +74,16 @@ class RoundRobinTrainer:
         self.ckpt = CheckpointManager(train_cfg.checkpoint_dir, keep=train_cfg.keep_checkpoints)
 
         tasks = train_cfg.tasks
+        # per-task optimizers masked to the task's trainable scope: frozen
+        # leaves hold no Adam moments, so four resident optimizer states cost
+        # branch-sized memory, exactly like the reference's four
+        # branch-parameter optimizers (round_robin_trainer.py:294-319)
         self.optimizers = {
-            t.name: build_optimizer(t.optim, variables["params"]) for t in tasks
+            t.name: mask_optimizer(
+                build_optimizer(t.optim, variables["params"]),
+                t.name, t.trainable,
+            )
+            for t in tasks
         }
         self.state = create_train_state(
             variables, self.optimizers,
@@ -90,6 +98,7 @@ class RoundRobinTrainer:
                     model, t.name, self.optimizers[t.name], model_cfg,
                     use_ema=t.optim.use_ema,
                     ema_decay=t.optim.ema_decay, ema_tau=t.optim.ema_tau,
+                    trainable=t.trainable,
                 ),
                 eval_step=make_eval_step(model, t.name, model_cfg),
                 train_loader=loaders["train"],

@@ -34,6 +34,48 @@ from prpe_tpu.train.state import TrainState, update_ema
 
 DETECTION_TASKS = ("person_detection", "face_detection")
 
+# Param subtrees each task's optimizer covers. Reference parity: every task
+# optimizer holds ONLY its branch (adapter + net [+ margin kernel]) — the
+# shared ResNet trunk is in NO optimizer and never updates (reference:
+# face_detection/module_v2.py:507-517 Adam(model.yolo_face.parameters()),
+# face_recognition/module.py:176-187, pose_estimation/module.py:649-668).
+TASK_BRANCHES = {
+    "person_detection": ("yolo_person", "yolo_person_adapter"),
+    "face_detection": ("yolo_face", "yolo_face_adapter"),
+    "face_recognition": ("ada_face", "ada_face_adapter", "face_kernel"),
+    "pose_estimation": ("vit_pose", "vit_pose_adapter"),
+}
+
+
+def trainable_mask(params, task: str, scope: str = "branch"):
+    """Bool pytree: which params ``task``'s optimizer trains.
+
+    scope: "branch" (reference parity), "branch+backbone" (also fine-tune
+    the shared trunk), or "all".
+    """
+    if scope == "all":
+        return jax.tree_util.tree_map(lambda _: True, params)
+    keys = set(TASK_BRANCHES[task])
+    if scope == "branch+backbone":
+        keys.add("backbone")
+    elif scope != "branch":
+        raise ValueError(f"unknown trainable scope {scope!r}")
+    return {
+        k: jax.tree_util.tree_map(lambda _: k in keys, v)
+        for k, v in params.items()
+    }
+
+
+def mask_optimizer(tx: optax.GradientTransformation, task: str,
+                   scope: str = "branch") -> optax.GradientTransformation:
+    """Restrict ``tx``'s state to the task's trainable params —
+    ``optax.masked`` stores no moments for frozen leaves, which is what
+    keeps four per-task Adam states resident in HBM at once (the reference
+    holds four branch-sized optimizers the same way)."""
+    if scope == "all":
+        return tx
+    return optax.masked(tx, lambda p: trainable_mask(p, task, scope))
+
 
 def _branch(task: str) -> str:
     return "person" if task == "person_detection" else "face"
@@ -134,6 +176,7 @@ def make_train_step(
     use_ema: bool = False,
     ema_decay: float = 0.9999,
     ema_tau: float = 2000.0,
+    trainable: str = "branch",
 ) -> Callable[[TrainState, Dict[str, Any], jax.Array], Tuple[TrainState, Dict]]:
     """Returns ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -142,16 +185,36 @@ def make_train_step(
     multiplies XLA's buffer-aliasing work by the number of tasks — measured
     >10x compile-time blowup under an 8-device SPMD mesh. The sibling opt
     states stay on device untouched in the host-side TrainState dict.
+
+    ``trainable`` ("branch" default = reference parity, see TASK_BRANCHES)
+    stop-gradients the frozen subtrees, so XLA drops their entire backward
+    pass (e.g. the ResNet-50 backbone backward at 640^2), and zeroes their
+    updates regardless of how ``tx`` treats unmasked leaves.
     """
     loss_fn = make_loss_fn(model, task, cfg)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def _step(params, batch_stats, opt_state, ema_params, ema_updates, batch, rng):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        mask = trainable_mask(params, task, trainable)
+
+        def frozen_loss(p, *args):
+            p = jax.tree_util.tree_map(
+                lambda leaf, m: leaf if m else jax.lax.stop_gradient(leaf),
+                p, mask,
+            )
+            return loss_fn(p, *args)
+
+        grad_fn = jax.value_and_grad(frozen_loss, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             params, batch_stats, batch, rng, True
         )
         updates, new_opt = tx.update(grads, opt_state, params)
+        # belt + braces: frozen leaves must not move even when tx passes
+        # their (zero) grads through untransformed (plain optax.masked
+        # semantics for masked-out leaves)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+        )
         new_params = optax.apply_updates(params, updates)
         if use_ema and ema_params is not None:
             ema_updates = ema_updates + 1

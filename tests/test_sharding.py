@@ -135,7 +135,9 @@ def _one_step(model, cfg, variables, tx, task, batch, mesh=None):
     state = create_train_state(
         {"params": params, "batch_stats": stats}, {task: tx}
     )
-    step = make_train_step(model, task, tx, cfg)
+    # trainable="all": the parity claim must cover every gradient path,
+    # including the shared-backbone backward
+    step = make_train_step(model, task, tx, cfg, trainable="all")
     ctx = mesh if mesh is not None else _NullCtx()
     with ctx:
         new_state, metrics = step(state, dev_batch, jax.random.key(3))

@@ -76,6 +76,60 @@ def test_pose_step_learns(setup):
     assert losses[-1] < losses[0]
 
 
+def test_trainable_scope_branch_freezes_trunk(setup):
+    """Default trainable='branch' (reference parity: each task optimizer
+    covers only its branch — face_detection/module_v2.py:507-517): one step
+    moves branch params, leaves the backbone and sibling branches bit-exact,
+    and optax.masked stores no moments for frozen leaves."""
+    import optax
+
+    from prpe_tpu.train.steps import mask_optimizer, trainable_mask
+
+    cfg, model, variables = setup
+    task = "person_detection"
+    tx = mask_optimizer(
+        build_optimizer(OptimConfig(optimizer="adam", learning_rate=1e-3)),
+        task, "branch",
+    )
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables), {task: tx})
+    before = jax.device_get(state.params)
+    step = make_train_step(model, task, tx, cfg)  # trainable defaults branch
+    batch = {k: jnp.asarray(v) for k, v in synthetic.detection_batch(
+        np.random.default_rng(0), 2, 128, 8).items()}
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.device_get(state.params)
+
+    mask = trainable_mask(before, task, "branch")
+    moved = frozen_same = 0
+    for (path, b), m in zip(
+        jax.tree_util.tree_leaves_with_path(before),
+        jax.tree_util.tree_leaves(mask),
+    ):
+        a = after
+        for p in path:
+            a = a[p.key]
+        if m:
+            moved += int(not np.array_equal(a, b))
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(path))
+            frozen_same += 1
+    assert moved > 10 and frozen_same > 10
+
+    # masked optimizer carries no adam moments for frozen subtrees
+    def count_moment_leaves(tree):
+        return sum(
+            int(np.ndim(l) > 0)
+            for l in jax.tree_util.tree_leaves(tree)
+        )
+
+    masked_leaves = count_moment_leaves(state.opt_states[task])
+    full_tx = build_optimizer(OptimConfig(optimizer="adam", learning_rate=1e-3))
+    full_leaves = count_moment_leaves(full_tx.init(state.params))
+    assert masked_leaves < full_leaves / 2
+
+
 def test_eval_steps_run(setup):
     cfg, model, variables = setup
     rng = np.random.default_rng(1)
