@@ -176,9 +176,20 @@ def main(argv=None):
         dtype=jnp.dtype(args.dtype).type,
     )
 
+    # keep each task's reference-parity optimizer shape (pose: AdamW +
+    # OneCycle + ViT 0.1x group) and inject the CLI lr / schedule horizon.
+    # warmup = min(1000, total/5) matches pose_estimation/module.py:688.
+    steps_per_epoch = max(1, args.max_train_samples // args.batch_size)
+    total_steps = max(1, args.epochs * steps_per_epoch)
     tasks = tuple(
         dataclasses.replace(
-            t, optim=OptimConfig(learning_rate=args.learning_rate),
+            t,
+            optim=dataclasses.replace(
+                t.optim, learning_rate=args.learning_rate,
+                total_steps=total_steps,
+                warmup_steps=(min(1000, total_steps // 5)
+                              if t.optim.schedule != "constant" else 0),
+            ),
             trainable=args.trainable,
         )
         for t in default_task_configs()

@@ -143,6 +143,10 @@ class OptimConfig:
     min_lr: float = 1e-6
     # gradient accumulation (reference: round_robin_trainer.py:439)
     accumulate: int = 1
+    # per-param-group lr multipliers keyed by TOP-LEVEL param-tree name
+    # (exact match). The reference's pose optimizer runs the pretrained ViT
+    # at 0.1x the adapter lr (pose_estimation/module.py:655-670).
+    param_group_scales: Tuple[Tuple[str, float], ...] = ()
     # EMA (reference: training/yolopt/util.py:438-466)
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
@@ -261,5 +265,15 @@ def default_task_configs() -> Tuple[TaskConfig, ...]:
         TaskConfig(name="person_detection", monitor="val/mAP50-95", monitor_mode="max"),
         TaskConfig(name="face_detection", monitor="val/mAP50-95", monitor_mode="max"),
         TaskConfig(name="face_recognition", monitor="val_acc", monitor_mode="max"),
-        TaskConfig(name="pose_estimation", monitor="val_loss", monitor_mode="min"),
+        # pose: AdamW + per-step OneCycle, pretrained ViT at 0.1x lr
+        # (reference pose_estimation/module.py:649-694; wd 5e-4 from
+        # round_robin_trainer.py:527). total_steps/warmup are filled in by
+        # the caller once steps-per-epoch is known (cli/train.py).
+        TaskConfig(
+            name="pose_estimation", monitor="val_loss", monitor_mode="min",
+            optim=OptimConfig(
+                optimizer="adamw", weight_decay=5e-4, schedule="onecycle",
+                param_group_scales=(("vit_pose", 0.1),),
+            ),
+        ),
     )

@@ -101,6 +101,24 @@ def build_optimizer(
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), core)
+    for prefix, scale in cfg.param_group_scales:
+        # per-group lr: scale the post-optimizer update of one top-level
+        # param subtree (torch param-group semantics — the reference's pose
+        # AdamW runs the ViT at 0.1x lr, pose_estimation/module.py:655-670)
+        tx = optax.chain(tx, optax.masked(optax.scale(scale),
+                                          _subtree_mask(prefix)))
     if cfg.accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate)
     return tx
+
+
+def _subtree_mask(name: str) -> Callable[[Any], Any]:
+    """Mask callable: True exactly on the top-level subtree ``name``."""
+
+    def fn(params):
+        return {
+            k: jax.tree_util.tree_map(lambda _: k == name, v)
+            for k, v in params.items()
+        }
+
+    return fn

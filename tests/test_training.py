@@ -130,6 +130,23 @@ def test_trainable_scope_branch_freezes_trunk(setup):
     assert masked_leaves < full_leaves / 2
 
 
+def test_param_group_scale_runs_vit_at_tenth_lr():
+    """OptimConfig.param_group_scales scales one top-level subtree's update
+    (reference pose AdamW param groups: ViT at 0.1x lr,
+    pose_estimation/module.py:655-670)."""
+    params = {"adapter": jnp.ones((4,)), "vit_pose": {"w": jnp.ones((4,))}}
+    tx = build_optimizer(OptimConfig(
+        optimizer="adamw", learning_rate=1e-2, weight_decay=0.0,
+        param_group_scales=(("vit_pose", 0.1),),
+    ))
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(
+        np.asarray(updates["vit_pose"]["w"]),
+        0.1 * np.asarray(updates["adapter"]), rtol=1e-6)
+
+
 def test_eval_steps_run(setup):
     cfg, model, variables = setup
     rng = np.random.default_rng(1)
