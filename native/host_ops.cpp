@@ -140,4 +140,70 @@ void resize_normalize_f32(const uint8_t* src, int64_t sh, int64_t sw,
   }
 }
 
+// Inverse-mapped affine warp, uint8 HWC, bilinear sampling with a black
+// (zero) border — the hot op of the random_perspective augmentation
+// (reference behavior: cv2.warpAffine defaults, training/yolopt/
+// dataset.py:355-357). ``inv`` is the row-major 2x3 INVERSE matrix mapping
+// output pixel coords to source coords: the caller (prpe_tpu/data/
+// augment.py) inverts the forward 3x3 on the numpy side. Out-of-bounds
+// taps contribute zero, matching the numpy fallback bit-for-bit in fp32.
+void warp_affine_u8(const uint8_t* src, int64_t sh, int64_t sw, int64_t c,
+                    uint8_t* dst, int64_t dh, int64_t dw, const float* inv) {
+  const float a = inv[0], b = inv[1], tx = inv[2];
+  const float d = inv[3], e = inv[4], ty = inv[5];
+  for (int64_t oy = 0; oy < dh; ++oy) {
+    for (int64_t ox = 0; ox < dw; ++ox) {
+      const float sx = a * ox + b * oy + tx;
+      const float sy = d * ox + e * oy + ty;
+      const float fx0 = std::floor(sx);
+      const float fy0 = std::floor(sy);
+      const int64_t x0 = static_cast<int64_t>(fx0);
+      const int64_t y0 = static_cast<int64_t>(fy0);
+      const float wx = sx - fx0;
+      const float wy = sy - fy0;
+      uint8_t* out = dst + (oy * dw + ox) * c;
+      // fast path: all four taps inside
+      if (x0 >= 0 && y0 >= 0 && x0 + 1 < sw && y0 + 1 < sh) {
+        const uint8_t* p00 = src + (y0 * sw + x0) * c;
+        const uint8_t* p01 = p00 + c;
+        const uint8_t* p10 = p00 + sw * c;
+        const uint8_t* p11 = p10 + c;
+        for (int64_t ch = 0; ch < c; ++ch) {
+          const float top = p00[ch] * (1.0f - wx) + p01[ch] * wx;
+          const float bot = p10[ch] * (1.0f - wx) + p11[ch] * wx;
+          const float v = top * (1.0f - wy) + bot * wy;
+          out[ch] = static_cast<uint8_t>(
+              std::min(std::max(v + 0.5f, 0.0f), 255.0f));
+        }
+        continue;
+      }
+      // border path: per-tap validity, zero outside
+      const bool in00 = y0 >= 0 && y0 < sh && x0 >= 0 && x0 < sw;
+      const bool in01 = y0 >= 0 && y0 < sh && x0 + 1 >= 0 && x0 + 1 < sw;
+      const bool in10 = y0 + 1 >= 0 && y0 + 1 < sh && x0 >= 0 && x0 < sw;
+      const bool in11 = y0 + 1 >= 0 && y0 + 1 < sh && x0 + 1 >= 0 && x0 + 1 < sw;
+      if (!(in00 || in01 || in10 || in11)) {
+        for (int64_t ch = 0; ch < c; ++ch) out[ch] = 0;
+        continue;
+      }
+      const int64_t cy0 = std::min(std::max(y0, int64_t{0}), sh - 1);
+      const int64_t cy1 = std::min(std::max(y0 + 1, int64_t{0}), sh - 1);
+      const int64_t cx0 = std::min(std::max(x0, int64_t{0}), sw - 1);
+      const int64_t cx1 = std::min(std::max(x0 + 1, int64_t{0}), sw - 1);
+      const uint8_t* p00 = src + (cy0 * sw + cx0) * c;
+      const uint8_t* p01 = src + (cy0 * sw + cx1) * c;
+      const uint8_t* p10 = src + (cy1 * sw + cx0) * c;
+      const uint8_t* p11 = src + (cy1 * sw + cx1) * c;
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const float v = (in00 ? p00[ch] : 0.0f) * (1.0f - wx) * (1.0f - wy)
+                      + (in01 ? p01[ch] : 0.0f) * wx * (1.0f - wy)
+                      + (in10 ? p10[ch] : 0.0f) * (1.0f - wx) * wy
+                      + (in11 ? p11[ch] : 0.0f) * wx * wy;
+        out[ch] = static_cast<uint8_t>(
+            std::min(std::max(v + 0.5f, 0.0f), 255.0f));
+      }
+    }
+  }
+}
+
 }  // extern "C"

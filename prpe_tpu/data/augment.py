@@ -105,8 +105,20 @@ def warp_affine(img: np.ndarray, matrix: np.ndarray,
                 out_h: int, out_w: int) -> np.ndarray:
     """Bilinear affine warp of a uint8 HWC image, black border (the cv2
     warpAffine defaults the reference relies on). ``matrix`` is the 3x3
-    forward map; sampling inverts it."""
-    inv = np.linalg.inv(matrix)
+    forward map; sampling inverts it.
+
+    Dispatches to the native C++ kernel (native/host_ops.cpp) when built —
+    the per-sample mosaic+affine pipeline is host-bound on small hosts —
+    with this numpy path as the semantics-defining fallback (fp32
+    coordinate math in both)."""
+    inv = np.linalg.inv(matrix).astype(np.float32)
+
+    from prpe_tpu import native
+
+    out = native.warp_affine_u8(img, inv[:2], out_h, out_w)
+    if out is not None:
+        return out
+
     ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float32)
     sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]

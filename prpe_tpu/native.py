@@ -47,7 +47,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() and _SRC.exists():
+        if _SRC.exists() and (
+            not _LIB_PATH.exists()
+            or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime
+        ):
+            # (re)build when missing or stale vs the source
             _build()
         if _LIB_PATH.exists():
             try:
@@ -61,8 +65,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     _u8p, _i64, _i64, _i64, _f32p, _i64, _i64, _f32p, _f32p,
                     ctypes.c_int,
                 ]
+                lib.warp_affine_u8.argtypes = [
+                    _u8p, _i64, _i64, _i64, _u8p, _i64, _i64, _f32p,
+                ]
                 _lib = lib
-            except OSError:
+            except (OSError, AttributeError):
+                # unloadable, or a stale build missing a newer symbol
                 _lib = None
         return _lib
 
@@ -103,6 +111,23 @@ def resize_bilinear_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
                                src.shape[2], _as_u8p(dst), dh, dw)
         return dst
     return np.clip(_np_bilinear(src, dh, dw) + 0.5, 0, 255).astype(np.uint8)
+
+
+def warp_affine_u8(src: np.ndarray, inv: np.ndarray,
+                   dh: int, dw: int) -> Optional[np.ndarray]:
+    """Inverse-mapped bilinear affine warp, black border; ``inv`` is the
+    row-major 2x3 inverse matrix (output -> source coords). Returns None
+    when the native library is unavailable — the caller
+    (prpe_tpu/data/augment.py::warp_affine) owns the numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    inv = np.ascontiguousarray(inv, np.float32).reshape(6)
+    dst = np.empty((dh, dw, src.shape[2]), np.uint8)
+    lib.warp_affine_u8(_as_u8p(src), src.shape[0], src.shape[1], src.shape[2],
+                       _as_u8p(dst), dh, dw, _as_f32p(inv))
+    return dst
 
 
 def resize_normalize(

@@ -53,3 +53,53 @@ def test_identity_resize(lib):
     src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     out = native.resize_bilinear_u8(src, 4, 4)
     np.testing.assert_array_equal(out, src)
+
+
+def test_warp_affine_matches_numpy(lib, rng):
+    """Native inverse-mapped affine warp vs the numpy fallback in
+    data/augment.py (rotation+scale+translation, black border)."""
+    import math
+
+    from prpe_tpu.data import augment
+
+    src = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    a = math.radians(17.0)
+    s = 1.3
+    m = np.array([
+        [s * math.cos(a), s * math.sin(a), 5.0],
+        [-s * math.sin(a), s * math.cos(a), -3.0],
+        [0, 0, 1],
+    ])
+    inv = np.linalg.inv(m).astype(np.float32)
+    got = native.warp_affine_u8(src, inv[:2], 48, 64)
+    assert got is not None
+
+    # numpy fallback path, forced
+    ys, xs = np.mgrid[0:48, 0:64].astype(np.float32)
+    sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    def tap(yy, xx):
+        ok = (yy >= 0) & (yy < 48) & (xx >= 0) & (xx < 64)
+        v = src[np.clip(yy, 0, 47), np.clip(xx, 0, 63)].astype(np.float32)
+        return v * ok[..., None]
+
+    want = np.clip(
+        tap(y0, x0) * (1 - fx) * (1 - fy) + tap(y0, x0 + 1) * fx * (1 - fy)
+        + tap(y0 + 1, x0) * (1 - fx) * fy + tap(y0 + 1, x0 + 1) * fx * fy
+        + 0.5, 0, 255,
+    ).astype(np.uint8)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # FMA contraction in the C build can move a coordinate by 1 ulp across
+    # a rounding boundary on isolated pixels
+    assert (diff <= 1).mean() > 0.999
+
+
+def test_warp_affine_identity_exact(lib, rng):
+    src = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = native.warp_affine_u8(src, np.eye(3, dtype=np.float32)[:2], 16, 16)
+    np.testing.assert_array_equal(got, src)
