@@ -22,6 +22,16 @@ import numpy as np
 IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 
 
+def smooth(y: np.ndarray, f: float = 0.1) -> np.ndarray:
+    """Box filter over fraction ``f`` of the curve, edge-padded — applied to
+    the mean-F1 curve before picking the operating point
+    (reference: training/yolopt/util.py:172-177)."""
+    nf = round(len(y) * f * 2) // 2 + 1  # odd filter width
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]))
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
 def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
     if len(a) == 0 or len(b) == 0:
@@ -42,10 +52,18 @@ def match_detections(
     gt_classes: np.ndarray,
     iou_thresholds: np.ndarray = IOU_THRESHOLDS,
 ) -> np.ndarray:
-    """Greedy unique matching -> TP matrix (n_det, n_thresh).
+    """Unique matching -> TP matrix (n_det, n_thresh), reference-exact.
 
-    Detections must be score-descending. Each gt matches at most one
-    detection per threshold (highest IoU wins), classes must agree.
+    Detections must be score-descending; classes must agree. Matching
+    replicates the reference's unique-chain dedup (training/yolopt/
+    util.py:108-120): candidate (gt, det) pairs sorted by IoU descending,
+    then ``np.unique`` by det index (keeps each det's best gt, but REORDERS
+    rows by det index), then ``np.unique`` by gt index over that reordered
+    array — so when one gt could take several dets, the LOWEST-index
+    (highest-score) det wins, not the highest-IoU one. A pure
+    greedy-by-IoU matcher diverges from the reference's mAP numbers in
+    multi-overlap scenes; parity is asserted against a line-level
+    transcription in tests/test_map_golden.py.
     """
     n_det = len(det_boxes)
     correct = np.zeros((n_det, len(iou_thresholds)), bool)
@@ -53,21 +71,17 @@ def match_detections(
         return correct
     iou = box_iou_matrix(gt_boxes, det_boxes)  # (n_gt, n_det)
     cls_ok = gt_classes[:, None] == det_classes[None, :]
-    iou = np.where(cls_ok, iou, 0.0)
     for t, thr in enumerate(iou_thresholds):
-        cand = np.argwhere(iou >= thr)  # (pairs, 2) [gt, det]
-        if len(cand) == 0:
+        gt_idx, det_idx = np.nonzero((iou >= thr) & cls_ok)
+        if len(gt_idx) == 0:
             continue
-        vals = iou[cand[:, 0], cand[:, 1]]
-        order = vals.argsort()[::-1]
-        cand = cand[order]
-        used_gt, used_det = set(), set()
-        for g, d in cand:
-            if g in used_gt or d in used_det:
-                continue
-            used_gt.add(g)
-            used_det.add(d)
-            correct[d, t] = True
+        matches = np.stack(
+            [gt_idx, det_idx, iou[gt_idx, det_idx]], 1)  # [gt, det, iou]
+        if len(gt_idx) > 1:
+            matches = matches[matches[:, 2].argsort()[::-1]]
+            matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+            matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+        correct[matches[:, 1].astype(int), t] = True
     return correct
 
 
@@ -120,7 +134,7 @@ def compute_ap(
             ap[ci, t] = np.trapezoid(np.interp(x, m_rec, m_pre), x)
 
     f1 = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
-    i = f1.mean(0).argmax()
+    i = smooth(f1.mean(0), 0.1).argmax()  # reference: util.py:297
     return {
         "precision": float(p_curve[:, i].mean()),
         "recall": float(r_curve[:, i].mean()),
