@@ -206,4 +206,64 @@ void warp_affine_u8(const uint8_t* src, int64_t sh, int64_t sw, int64_t c,
   }
 }
 
+// cv2-exact HSV LUT color jitter, in place on uint8 RGB
+// (reference: training/yolopt/dataset.py augment_hsv -> util ...py:274-289:
+// cvtColor BGR2HSV, per-channel uint8 LUTs h*(x%180) / clip(s*x) / clip(v*x),
+// cvtColor back). cv2's uint8 HSV: H in [0,180), S,V in [0,255], with
+// H = round(deg/2), S = round(255*(V-min)/V).
+void hsv_lut_u8(uint8_t* img, int64_t n_px, float rh, float rs, float rv) {
+  // build the three LUTs once (exactly the reference's numpy LUT math)
+  uint8_t lut_h[256], lut_s[256], lut_v[256];
+  for (int i = 0; i < 256; ++i) {
+    lut_h[i] = static_cast<uint8_t>(std::fmod(i * rh, 180.0f));
+    lut_s[i] = static_cast<uint8_t>(
+        std::min(std::max(i * rs, 0.0f), 255.0f));
+    lut_v[i] = static_cast<uint8_t>(
+        std::min(std::max(i * rv, 0.0f), 255.0f));
+  }
+  for (int64_t p = 0; p < n_px; ++p) {
+    uint8_t* px = img + p * 3;
+    const float r = px[0], g = px[1], b = px[2];
+    const float v = std::max({r, g, b});
+    const float mn = std::min({r, g, b});
+    const float diff = v - mn;
+    float h = 0.0f, s = 0.0f;
+    if (v > 0.0f) s = 255.0f * diff / v;
+    if (diff > 0.0f) {
+      if (v == r)      h = 60.0f * (g - b) / diff;
+      else if (v == g) h = 120.0f + 60.0f * (b - r) / diff;
+      else             h = 240.0f + 60.0f * (r - g) / diff;
+      if (h < 0.0f) h += 360.0f;
+    }
+    uint8_t hu = static_cast<uint8_t>(h / 2.0f + 0.5f);
+    if (hu >= 180) hu = 0;  // cv2 wraps round(360/2) back to 0
+    const uint8_t su = static_cast<uint8_t>(s + 0.5f);
+    const uint8_t vu = static_cast<uint8_t>(v + 0.5f);
+
+    const float h2 = lut_h[hu] * 2.0f;   // degrees
+    const float s2 = lut_s[su] / 255.0f;
+    const float v2 = static_cast<float>(lut_v[vu]);
+
+    // cv2 HSV -> RGB sector math
+    const float hh = h2 / 60.0f;
+    const int sector = static_cast<int>(hh) % 6;
+    const float f = hh - static_cast<int>(hh);
+    const float pch = v2 * (1.0f - s2);
+    const float qch = v2 * (1.0f - s2 * f);
+    const float tch = v2 * (1.0f - s2 * (1.0f - f));
+    float ro, go, bo;
+    switch (sector) {
+      case 0: ro = v2; go = tch; bo = pch; break;
+      case 1: ro = qch; go = v2; bo = pch; break;
+      case 2: ro = pch; go = v2; bo = tch; break;
+      case 3: ro = pch; go = qch; bo = v2; break;
+      case 4: ro = tch; go = pch; bo = v2; break;
+      default: ro = v2; go = pch; bo = qch; break;
+    }
+    px[0] = static_cast<uint8_t>(std::min(std::max(ro + 0.5f, 0.0f), 255.0f));
+    px[1] = static_cast<uint8_t>(std::min(std::max(go + 0.5f, 0.0f), 255.0f));
+    px[2] = static_cast<uint8_t>(std::min(std::max(bo + 0.5f, 0.0f), 255.0f));
+  }
+}
+
 }  // extern "C"

@@ -22,45 +22,15 @@ def hsv_augment(
     img: np.ndarray, rng: np.random.Generator,
     h_gain: float = 0.015, s_gain: float = 0.7, v_gain: float = 0.4,
 ) -> np.ndarray:
-    """Random HSV jitter on uint8 RGB (LUT-based like the reference)."""
+    """Random HSV jitter on uint8 RGB with the reference's exact cv2-LUT
+    semantics — uint8 HSV (H in [0,180)), per-channel gain LUTs, convert
+    back (reference: training/yolopt/dataset.py:274-289). Runs in the
+    native C++ kernel when built (prpe_tpu/native.py::hsv_lut), numpy
+    fallback with identical math otherwise."""
+    from prpe_tpu import native
+
     r = rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
-
-    # RGB -> HSV (vectorized uint8 path)
-    x = img.astype(np.float32) / 255.0
-    mx = x.max(-1)
-    mn = x.min(-1)
-    diff = mx - mn + 1e-12
-    hch = np.zeros_like(mx)
-    rc, gc, bc = x[..., 0], x[..., 1], x[..., 2]
-    m = mx == rc
-    hch[m] = ((gc - bc) / diff)[m] % 6
-    m = mx == gc
-    hch[m] = ((bc - rc) / diff + 2)[m]
-    m = mx == bc
-    hch[m] = ((rc - gc) / diff + 4)[m]
-    hch = hch / 6.0
-    sch = np.where(mx > 0, diff / (mx + 1e-12), 0.0)
-    vch = mx
-
-    hch = (hch * r[0]) % 1.0
-    sch = np.clip(sch * r[1], 0, 1)
-    vch = np.clip(vch * r[2], 0, 1)
-
-    # HSV -> RGB
-    i = np.floor(hch * 6).astype(int) % 6
-    f = hch * 6 - np.floor(hch * 6)
-    p = vch * (1 - sch)
-    q = vch * (1 - f * sch)
-    t = vch * (1 - (1 - f) * sch)
-    out = np.zeros_like(x)
-    for k, (rr, gg, bb) in enumerate(
-        [(vch, t, p), (q, vch, p), (p, vch, t), (p, q, vch), (t, p, vch), (vch, p, q)]
-    ):
-        m = i == k
-        out[..., 0][m] = rr[m]
-        out[..., 1][m] = gg[m]
-        out[..., 2][m] = bb[m]
-    return (out * 255.0 + 0.5).astype(np.uint8)
+    return native.hsv_lut(img, r[0], r[1], r[2])
 
 
 def mosaic4(

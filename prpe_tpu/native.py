@@ -68,6 +68,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.warp_affine_u8.argtypes = [
                     _u8p, _i64, _i64, _i64, _u8p, _i64, _i64, _f32p,
                 ]
+                lib.hsv_lut_u8.argtypes = [
+                    _u8p, _i64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ]
                 _lib = lib
             except (OSError, AttributeError):
                 # unloadable, or a stale build missing a newer symbol
@@ -128,6 +131,68 @@ def warp_affine_u8(src: np.ndarray, inv: np.ndarray,
     lib.warp_affine_u8(_as_u8p(src), src.shape[0], src.shape[1], src.shape[2],
                        _as_u8p(dst), dh, dw, _as_f32p(inv))
     return dst
+
+
+def _np_hsv_lut(img: np.ndarray, rh: float, rs: float, rv: float) -> np.ndarray:
+    """cv2-exact uint8 HSV LUT jitter, numpy fallback (same math as the C
+    kernel: H in [0,180) = round(deg/2), S = round(255*(V-min)/V), uint8
+    LUTs, sector-formula HSV->RGB; fp32 throughout)."""
+    x = img.astype(np.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = x.max(-1)
+    mn = x.min(-1)
+    diff = v - mn
+    s = np.where(v > 0, 255.0 * diff / np.maximum(v, 1e-12), 0.0)
+    safe = np.maximum(diff, 1e-12)
+    is_r = (diff > 0) & (v == r)
+    is_g = (diff > 0) & (v == g) & ~is_r
+    is_b = (diff > 0) & ~is_r & ~is_g
+    h = np.zeros_like(v)
+    h = np.where(is_r, 60.0 * (g - b) / safe, h)
+    h = np.where(is_g, 120.0 + 60.0 * (b - r) / safe, h)
+    h = np.where(is_b, 240.0 + 60.0 * (r - g) / safe, h)
+    h = np.where(h < 0, h + 360.0, h)
+    hu = (h / 2.0 + 0.5).astype(np.uint8)
+    hu = np.where(hu >= 180, 0, hu).astype(np.uint8)
+    su = (s + 0.5).astype(np.uint8)
+    vu = (v + 0.5).astype(np.uint8)
+
+    idx = np.arange(256, dtype=np.float32)
+    lut_h = np.fmod(idx * np.float32(rh), 180.0).astype(np.uint8)
+    lut_s = np.clip(idx * np.float32(rs), 0, 255).astype(np.uint8)
+    lut_v = np.clip(idx * np.float32(rv), 0, 255).astype(np.uint8)
+
+    h2 = lut_h[hu].astype(np.float32) * 2.0
+    s2 = lut_s[su].astype(np.float32) / 255.0
+    v2 = lut_v[vu].astype(np.float32)
+    hh = h2 / 60.0
+    sector = hh.astype(np.int32) % 6
+    f = hh - hh.astype(np.int32)
+    p = v2 * (1.0 - s2)
+    q = v2 * (1.0 - s2 * f)
+    t = v2 * (1.0 - s2 * (1.0 - f))
+    z = np.zeros_like(v2)
+    ro = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4], [v2, q, p, p, t], default=v2)
+    go = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4], [t, v2, v2, q, p], default=p)
+    bo = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4], [p, p, t, v2, v2], default=q)
+    del z
+    out = np.stack([ro, go, bo], -1)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def hsv_lut(img: np.ndarray, rh: float, rs: float, rv: float) -> np.ndarray:
+    """cv2-exact uint8 HSV LUT jitter on RGB HWC (the reference's
+    augment_hsv semantics, training/yolopt/dataset.py:274-289)."""
+    lib = get_lib()
+    if lib is not None and img.shape[-1] == 3:
+        out = np.ascontiguousarray(img).copy()
+        lib.hsv_lut_u8(_as_u8p(out), out.shape[0] * out.shape[1],
+                       float(rh), float(rs), float(rv))
+        return out
+    return _np_hsv_lut(img, rh, rs, rv)
 
 
 def resize_normalize(

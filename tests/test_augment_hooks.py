@@ -173,8 +173,11 @@ def test_hsv_identity_when_no_gain():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
     out = hsv_augment(img, rng, h_gain=0.0, s_gain=0.0, v_gain=0.0)
-    # RGB->HSV->RGB roundtrip should be near-exact
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # cv2-exact uint8 HSV roundtrip: hue quantizes to 2 degrees, so
+    # saturated pixels can move by a few counts (same as the reference's
+    # cv2 path — this is intentional parity, not error)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 1.5
 
 
 def test_pose_eval_hook_perfect_predictions(rng):

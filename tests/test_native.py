@@ -103,3 +103,20 @@ def test_warp_affine_identity_exact(lib, rng):
     src = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     got = native.warp_affine_u8(src, np.eye(3, dtype=np.float32)[:2], 16, 16)
     np.testing.assert_array_equal(got, src)
+
+
+def test_hsv_lut_native_matches_numpy(lib, rng):
+    src = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    got = native.hsv_lut(src, 1.1, 0.8, 1.3)
+    want = native._np_hsv_lut(src, 1.1, 0.8, 1.3)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # fp32 rounding at sector/LUT boundaries may differ by 1 on rare pixels
+    assert (diff <= 1).mean() > 0.999 and diff.max() <= 3
+
+
+def test_hsv_lut_identity_gains_near_roundtrip(lib, rng):
+    """gains=1 -> pure uint8 HSV round-trip; hue quantization to 2 degrees
+    bounds the error on saturated pixels."""
+    src = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    out = native.hsv_lut(src, 1.0, 1.0, 1.0)
+    assert np.abs(out.astype(int) - src.astype(int)).max() <= 6
