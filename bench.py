@@ -30,7 +30,32 @@ import time
 REFERENCE_CASCADE_IMG_PER_SEC = 0.6869  # torch eager fp32 CPU composite
 
 
+def _probe_backend(timeout_s: float = 600.0) -> bool:
+    """Fail fast if the TPU relay is wedged: jax.devices() through a dead
+    relay blocks in C++ forever (uninterruptible by SIGTERM) — observed
+    2026-08-17 when a SIGKILLed client left a stale terminal claim. Probe
+    in a child process we can kill."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        import sys
+
+        print("bench.py: JAX backend unreachable (TPU relay wedged?) — "
+              "refusing to hang", file=sys.stderr)
+        return 1
+
     import jax
     import jax.numpy as jnp
 
@@ -99,4 +124,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())
