@@ -48,13 +48,44 @@ def _probe_backend(timeout_s: float = 600.0) -> bool:
         return False
 
 
-def main():
-    if not _probe_backend():
-        import sys
+def _probe_fused_attention(timeout_s: float = 900.0) -> bool:
+    """Compile the fused MHSA Pallas kernel on the real backend in a child
+    process; enable it for the benchmark only if that succeeds. The kernel's
+    numerics and TPU lowering are test-validated, but the Mosaic backend
+    compile has not run on a live chip in this environment yet — a failure
+    must degrade to the measured-good einsum path, not kill the benchmark."""
+    import os
+    import subprocess
+    import sys
 
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "from prpe_tpu.ops.pallas.attention_kernel import _pallas_forward;"
+        "s = jax.ShapeDtypeStruct((4, 192, 12, 64), jnp.bfloat16);"
+        "jax.jit(_pallas_forward).lower(s, s, s).compile();"
+        "print('fused-attention compile ok')"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    import os
+    import sys
+
+    if not _probe_backend():
         print("bench.py: JAX backend unreachable (TPU relay wedged?) — "
               "refusing to hang", file=sys.stderr)
         return 1
+    if "PRPE_FUSED_ATTENTION" not in os.environ and _probe_fused_attention():
+        os.environ["PRPE_FUSED_ATTENTION"] = "1"
+        print("bench.py: fused attention kernel enabled", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp

@@ -43,6 +43,18 @@ class MHSA(nn.Module):
         q = q.reshape(b, t, self.heads, hd)
         k = k.reshape(b, t, self.heads, hd)
         v = v.reshape(b, t, self.heads, hd)
+        # PRPE_FUSED_ATTENTION=1 routes through the fused Pallas kernel
+        # (ops/pallas/attention_kernel.py — identical fp32-softmax numerics,
+        # einsum fallback off-TPU). Opt-in because the Mosaic compile has
+        # only been validated via jax.export lowering, not a live chip, on
+        # this host; bench.py flips it on after a subprocess compile probe.
+        import os
+
+        if os.environ.get("PRPE_FUSED_ATTENTION") == "1":
+            from prpe_tpu.ops.pallas.attention_kernel import mhsa_attention
+
+            out = mhsa_attention(q, k, v).reshape(b, t, c)
+            return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(out)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd**-0.5)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)

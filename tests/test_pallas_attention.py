@@ -42,6 +42,21 @@ def test_mhsa_attention_grad_matches_reference(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_mhsa_env_gate_identical_on_cpu(rng, monkeypatch):
+    """PRPE_FUSED_ATTENTION=1 must not change ViT outputs on CPU (the
+    kernel wrapper falls back to the einsum path off-TPU)."""
+    from prpe_tpu.nn.vit import MHSA
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 24, 16)), jnp.float32)
+    m = MHSA(hidden=16, heads=2)
+    v = m.init(jax.random.key(0), x)
+    base = m.apply(v, x)
+    monkeypatch.setenv("PRPE_FUSED_ATTENTION", "1")
+    fused = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_mhsa_attention_cpu_fallback_matches(rng):
     """On a CPU backend mhsa_attention routes to the einsum path."""
     b, t, h, d = 2, 24, 3, 8
