@@ -15,10 +15,31 @@ import pathlib
 import sys
 
 
+_RESULTS_REGISTERED = False
+
+
+def register_result_serialization() -> None:
+    """Register the cascade's namedtuple result types with jax.export so
+    serialized artifacts can carry them in their output pytree (idempotent)."""
+    global _RESULTS_REGISTERED
+    if _RESULTS_REGISTERED:
+        return
+    from jax import export as jexport
+
+    from prpe_tpu.infer.cascade import CascadeResult
+    from prpe_tpu.ops.nms import Detections
+
+    for t in (Detections, CascadeResult):
+        jexport.register_namedtuple_serialization(
+            t, serialized_name=f"prpe_tpu.{t.__name__}")
+    _RESULTS_REGISTERED = True
+
+
 def export_stablehlo(fn, example_args, path: pathlib.Path):
     import jax
     from jax import export as jexport
 
+    register_result_serialization()
     exp = jexport.export(jax.jit(fn))(*example_args)
     path.write_bytes(exp.serialize())
     return path

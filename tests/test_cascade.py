@@ -129,3 +129,33 @@ def test_cascade_face_budget_saturation_flag(cascade):
     res2 = build_cascade_runner(model, roomy, pose_capacity=3)(
         variables, images, gallery)
     assert not bool(res2.face_budget_saturated)
+
+
+def test_cascade_stablehlo_export_roundtrip(cascade):
+    """The whole single-jit cascade program serializes through jax.export
+    (StableHLO) and the rehydrated artifact reproduces the live outputs —
+    the serving-deployment story for the flagship path."""
+    from jax import export as jexport
+
+    from prpe_tpu.cli.export import register_result_serialization
+
+    register_result_serialization()
+
+    model, variables = cascade
+    cfg = CascadeConfig(max_persons=4, max_faces=4, conf_threshold=0.0,
+                        gate_pose=False)
+    runner = build_cascade_runner(model, cfg, pose_capacity=3)
+    images = jax.random.uniform(jax.random.key(11), (2, 128, 128, 3))
+    gallery = jnp.zeros((1, 512))
+
+    live = runner(variables, images, gallery)
+    exp = jexport.export(jax.jit(runner))(variables, images, gallery)
+    blob = exp.serialize()
+    assert len(blob) > 0
+    rehydrated = jexport.deserialize(blob)
+    out = rehydrated.call(variables, images, gallery)
+    np.testing.assert_allclose(
+        np.asarray(out.pose_keypoints), np.asarray(live.pose_keypoints),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out.persons.valid), np.asarray(live.persons.valid))
