@@ -38,6 +38,14 @@ def main(argv=None):
     ap.add_argument("--output-dir", default="weights")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on synthetic data (smoke test)")
+    ap.add_argument("--test", action="store_true",
+                    help="eval-only: load --checkpoint (default "
+                         "<output-dir>/best), run val mAP, save PR/F1/P/R "
+                         "curve PNGs (reference: yolopt/main.py:169-239)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir for --test (orbax StandardCheckpointer)")
+    ap.add_argument("--class-names", default=None,
+                    help="comma-separated class names for plot legends")
     args = ap.parse_args(argv)
 
     import jax
@@ -65,7 +73,12 @@ def main(argv=None):
     variables = jax.jit(model.init)(jax.random.key(0), x0)
     params = variables["params"]
     batch_stats = variables["batch_stats"]
-    print(f"params: {count_params(params) / 1e6:.2f}M")
+    # startup profile line (reference: yolopt/main.py:242-256 thop profile())
+    cost = count_flops(
+        lambda v, x: model.apply(v, x, False),
+        {"params": params, "batch_stats": batch_stats}, x0)
+    print(f"params: {count_params(params) / 1e6:.2f}M  "
+          f"flops/img: {cost['flops'] / 1e9:.2f}G")
 
     # ---- data ------------------------------------------------------------ #
     accumulate = max(1, round(64 / args.batch_size))
@@ -143,6 +156,37 @@ def main(argv=None):
     csv_path = out_dir / "step.csv"
     ckpt = ocp.StandardCheckpointer()
     hook = detection_eval_hook(args.input_size)
+
+    if args.test:
+        # Eval-only entry (reference: yolopt/main.py:169-239 `test()`:
+        # loads best.pt, fuses conv+BN, evaluates, plots curves). Here BN
+        # folding happens at trace time (nn/common.py::inference_bn) and the
+        # curve PNGs come from eval/plots.py.
+        from prpe_tpu.eval.map import collect_per_image, evaluate_detections
+        from prpe_tpu.eval.plots import save_detection_curves
+
+        ckpt_dir = pathlib.Path(args.checkpoint or (out_dir / "best"))
+        template = {"params": jax.device_get(params),
+                    "batch_stats": jax.device_get(batch_stats)}
+        restored = ckpt.restore(ckpt_dir.absolute(), template)
+        eval_params, eval_stats = restored["params"], restored["batch_stats"]
+
+        outputs = []
+        for batch in val_loader(0):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            det = eval_step(eval_params, eval_stats, batch)
+            outputs.append((jax.device_get(det), batch))
+        per_image = collect_per_image(outputs, args.input_size)
+        metrics, curves = evaluate_detections(per_image, return_curves=True)
+        names = args.class_names.split(",") if args.class_names else None
+        paths = save_detection_curves(curves, out_dir, names)
+        print(("%10s" * 5) % ("", "precision", "recall", "mAP50", "mAP"))
+        print(("%10s" + "%10.3g" * 4) % (
+            "", metrics["precision"], metrics["recall"], metrics["mAP50"],
+            metrics["mAP50-95"]))
+        for k, v in paths.items():
+            print(f"{k}: {v}")
+        return 0
     best_map = -1.0
     updates_count = jnp.zeros((), jnp.int32)
 

@@ -15,11 +15,33 @@ model forward.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
+
+
+@dataclasses.dataclass
+class DetectionCurves:
+    """Raw curve data behind the scalar metrics, for plotting
+    (reference: training/yolopt/util.py:248,278-292 collects the same
+    arrays when ``plot=True``).
+
+    All curves are sampled on ``conf_grid`` (1000-point confidence axis)
+    except ``pr_precision``, which is precision interpolated onto
+    ``recall_grid`` at IoU 0.5 — the Precision-Recall plot's y values.
+    """
+
+    classes: np.ndarray          # (C,) class ids that had data
+    conf_grid: np.ndarray        # (1000,)
+    precision: np.ndarray        # (C, 1000)
+    recall: np.ndarray           # (C, 1000)
+    f1: np.ndarray               # (C, 1000)
+    recall_grid: np.ndarray      # (1000,)
+    pr_precision: np.ndarray     # (C, 1000) precision at IoU .5 vs recall
+    ap: np.ndarray               # (C, T)
 
 
 def smooth(y: np.ndarray, f: float = 0.1) -> np.ndarray:
@@ -91,29 +113,35 @@ def compute_ap(
     pred_cls: np.ndarray,
     target_cls: np.ndarray,
     eps: float = 1e-16,
-) -> Dict[str, float]:
+    return_curves: bool = False,
+):
     """PR-curve AP with 101-point COCO interpolation and an F1-max operating
     point (reference: training/yolopt/util.py:225-300 semantics).
 
     Args:
       tp: (N, T) TP matrix from :func:`match_detections` across all images.
       conf: (N,) scores; pred_cls: (N,) classes; target_cls: all gt classes.
+      return_curves: also return a :class:`DetectionCurves` for plotting
+        (the reference gathers the same arrays under ``plot=True``).
 
-    Returns dict with precision, recall, f1, mAP50, mAP75, mAP50-95.
+    Returns dict with precision, recall, f1, mAP50, mAP75, mAP50-95 —
+    or ``(dict, DetectionCurves | None)`` when ``return_curves``.
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     classes, counts = np.unique(target_cls, return_counts=True)
 
     if len(tp) == 0 or len(classes) == 0:
-        return {"precision": 0.0, "recall": 0.0, "f1": 0.0,
+        zero = {"precision": 0.0, "recall": 0.0, "f1": 0.0,
                 "mAP50": 0.0, "mAP75": 0.0, "mAP50-95": 0.0}
+        return (zero, None) if return_curves else zero
 
     px = np.linspace(0, 1, 1000)
     n_t = tp.shape[1]
     ap = np.zeros((len(classes), n_t))
     p_curve = np.zeros((len(classes), 1000))
     r_curve = np.zeros((len(classes), 1000))
+    pr_precision = np.zeros((len(classes), 1000))
 
     for ci, c in enumerate(classes):
         sel = pred_cls == c
@@ -132,10 +160,13 @@ def compute_ap(
             m_pre = np.flip(np.maximum.accumulate(np.flip(m_pre)))
             x = np.linspace(0, 1, 101)
             ap[ci, t] = np.trapezoid(np.interp(x, m_rec, m_pre), x)
+            if t == 0:
+                # precision envelope vs recall at IoU .5 (util.py:281)
+                pr_precision[ci] = np.interp(px, m_rec, m_pre)
 
     f1 = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1.mean(0), 0.1).argmax()  # reference: util.py:297
-    return {
+    metrics = {
         "precision": float(p_curve[:, i].mean()),
         "recall": float(r_curve[:, i].mean()),
         "f1": float(f1[:, i].mean()),
@@ -143,14 +174,25 @@ def compute_ap(
         "mAP75": float(ap[:, min(5, n_t - 1)].mean()),
         "mAP50-95": float(ap.mean()),
     }
+    if return_curves:
+        curves = DetectionCurves(
+            classes=classes, conf_grid=px, precision=p_curve, recall=r_curve,
+            f1=f1, recall_grid=px, pr_precision=pr_precision, ap=ap,
+        )
+        return metrics, curves
+    return metrics
 
 
 def evaluate_detections(
     per_image: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
-) -> Dict[str, float]:
+    return_curves: bool = False,
+):
     """End-to-end detection metrics from per-image
     (det_boxes, det_scores, det_classes, gt_boxes, gt_classes) tuples
-    (detections score-sorted, already NMS'd and validity-filtered)."""
+    (detections score-sorted, already NMS'd and validity-filtered).
+
+    With ``return_curves`` also returns the :class:`DetectionCurves`
+    (or None when there is no data) for :mod:`prpe_tpu.eval.plots`."""
     all_tp, all_conf, all_cls, all_gt_cls = [], [], [], []
     for det_boxes, det_scores, det_classes, gt_boxes, gt_classes in per_image:
         tp = match_detections(det_boxes, det_classes, gt_boxes, gt_classes)
@@ -159,14 +201,42 @@ def evaluate_detections(
         all_cls.append(det_classes)
         all_gt_cls.append(gt_classes)
     if not all_tp:
-        return {"precision": 0.0, "recall": 0.0, "f1": 0.0,
+        zero = {"precision": 0.0, "recall": 0.0, "f1": 0.0,
                 "mAP50": 0.0, "mAP75": 0.0, "mAP50-95": 0.0}
+        return (zero, None) if return_curves else zero
     return compute_ap(
         np.concatenate(all_tp),
         np.concatenate(all_conf),
         np.concatenate(all_cls),
         np.concatenate(all_gt_cls) if all_gt_cls else np.zeros(0),
+        return_curves=return_curves,
     )
+
+
+def collect_per_image(outputs, model_image_size: int) -> List[Tuple]:
+    """Flatten accumulated (Detections, batch) pairs into the per-image
+    (det_boxes, det_scores, det_classes, gt_boxes_xyxy, gt_classes) tuples
+    consumed by :func:`evaluate_detections`."""
+    per_image = []
+    for det, batch in outputs:
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        classes = np.asarray(det.classes)
+        valid = np.asarray(det.valid)
+        gt_boxes_n = np.asarray(batch["gt_boxes"])  # cxcywh normalized
+        gt_mask = np.asarray(batch["gt_mask"])
+        gt_labels = np.asarray(batch["gt_labels"])
+        for b in range(boxes.shape[0]):
+            v = valid[b]
+            g = gt_mask[b]
+            gb = gt_boxes_n[b][g] * model_image_size
+            gt_xyxy = np.concatenate(
+                [gb[:, :2] - gb[:, 2:] / 2, gb[:, :2] + gb[:, 2:] / 2], -1
+            )
+            per_image.append(
+                (boxes[b][v], scores[b][v], classes[b][v], gt_xyxy, gt_labels[b][g])
+            )
+    return per_image
 
 
 def detection_eval_hook(model_image_size: int):
@@ -174,25 +244,6 @@ def detection_eval_hook(model_image_size: int):
     (Detections, batch) pairs into mAP metrics."""
 
     def hook(outputs) -> Dict[str, float]:
-        per_image = []
-        for det, batch in outputs:
-            boxes = np.asarray(det.boxes)
-            scores = np.asarray(det.scores)
-            classes = np.asarray(det.classes)
-            valid = np.asarray(det.valid)
-            gt_boxes_n = np.asarray(batch["gt_boxes"])  # cxcywh normalized
-            gt_mask = np.asarray(batch["gt_mask"])
-            gt_labels = np.asarray(batch["gt_labels"])
-            for b in range(boxes.shape[0]):
-                v = valid[b]
-                g = gt_mask[b]
-                gb = gt_boxes_n[b][g] * model_image_size
-                gt_xyxy = np.concatenate(
-                    [gb[:, :2] - gb[:, 2:] / 2, gb[:, :2] + gb[:, 2:] / 2], -1
-                )
-                per_image.append(
-                    (boxes[b][v], scores[b][v], classes[b][v], gt_xyxy, gt_labels[b][g])
-                )
-        return evaluate_detections(per_image)
+        return evaluate_detections(collect_per_image(outputs, model_image_size))
 
     return hook
