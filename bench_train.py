@@ -80,6 +80,15 @@ def main(batch=32, size=640, iters=5):
                 and e["name"].startswith("jit__step")):
             runs.append((e["ts"], e["dur"]))
     runs.sort()
+    # positional attribution (tasks ran sequentially and every step compiles
+    # to a module named jit__step) is only valid when the trace holds exactly
+    # iters events per task — a dropped/duplicated event would shift every
+    # later task's window onto the wrong step times. Fail loudly instead.
+    if len(runs) != len(TASKS) * iters:
+        raise RuntimeError(
+            f"trace has {len(runs)} jit__step executions, expected "
+            f"{len(TASKS) * iters} ({len(TASKS)} tasks x {iters} iters) — "
+            "per-task attribution would be wrong; rerun the benchmark")
     total_img_s = 0.0
     for i, t in enumerate(TASKS):
         chunk = runs[i * iters:(i + 1) * iters]

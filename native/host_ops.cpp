@@ -8,7 +8,8 @@
 // exposed through a C ABI consumed via ctypes (prpe_tpu/native.py).
 //
 // Semantics: standard half-pixel-center bilinear (align_corners=False),
-// matching the numpy fallback in prpe_tpu/data/image.py bit-for-bit in fp32.
+// closely matching the numpy fallback in prpe_tpu/data/image.py (fp32 here
+// vs numpy's float64 promotion: tests assert atol=1e-4, not bit equality).
 //
 // Build: g++ -O3 -shared -fPIC -o libprpe_host.so host_ops.cpp
 
@@ -146,7 +147,11 @@ void resize_normalize_f32(const uint8_t* src, int64_t sh, int64_t sw,
 // dataset.py:355-357). ``inv`` is the row-major 2x3 INVERSE matrix mapping
 // output pixel coords to source coords: the caller (prpe_tpu/data/
 // augment.py) inverts the forward 3x3 on the numpy side. Out-of-bounds
-// taps contribute zero, matching the numpy fallback bit-for-bit in fp32.
+// taps contribute zero. NOTE: this kernel interpolates with fp32 two-stage
+// lerps while the numpy fallback's weighted sums promote to float64, so
+// outputs can differ by 1 intensity level where the two land on opposite
+// sides of a .5 rounding boundary — tests/test_native.py asserts 99.9%
+// within 1, not exact equality. Do not build exact-match goldens on it.
 void warp_affine_u8(const uint8_t* src, int64_t sh, int64_t sw, int64_t c,
                     uint8_t* dst, int64_t dh, int64_t dw, const float* inv) {
   const float a = inv[0], b = inv[1], tx = inv[2];

@@ -176,18 +176,27 @@ def main(argv=None):
         dtype=jnp.dtype(args.dtype).type,
     )
 
+    loaders = build_task_loaders(args, cfg)
+
     # keep each task's reference-parity optimizer shape (pose: AdamW +
     # OneCycle + ViT 0.1x group) and inject the CLI lr / schedule horizon.
     # warmup = min(1000, total/5) matches pose_estimation/module.py:688.
-    steps_per_epoch = max(1, args.max_train_samples // args.batch_size)
-    total_steps = max(1, args.epochs * steps_per_epoch)
+    # The horizon uses the loader's ACTUAL steps/epoch (dataset length,
+    # max-samples cap, drop-last batching all applied) — deriving it from
+    # the cap alone would leave OneCycle pre-anneal forever on datasets
+    # smaller than --max-train-samples.
+    def task_total_steps(name: str) -> int:
+        fallback = max(1, args.max_train_samples // args.batch_size)
+        per_epoch = getattr(loaders[name]["train"], "steps_per_epoch", fallback)
+        return max(1, args.epochs * max(1, per_epoch))
+
     tasks = tuple(
         dataclasses.replace(
             t,
             optim=dataclasses.replace(
                 t.optim, learning_rate=args.learning_rate,
-                total_steps=total_steps,
-                warmup_steps=(min(1000, total_steps // 5)
+                total_steps=task_total_steps(t.name),
+                warmup_steps=(min(1000, task_total_steps(t.name) // 5)
                               if t.optim.schedule != "constant" else 0),
             ),
             trainable=args.trainable,
@@ -198,8 +207,6 @@ def main(argv=None):
         total_epochs=args.epochs, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir, tasks=tasks,
     )
-
-    loaders = build_task_loaders(args, cfg)
     mesh = None
     if args.data_parallel != 0 or args.model_parallel > 1:
         from prpe_tpu.parallel.mesh import (

@@ -200,23 +200,35 @@ def random_perspective(
 # --------------------------------------------------------------------------
 
 def box_blur(img: np.ndarray, k: int) -> np.ndarray:
-    """k x k mean filter via 2D cumsum (reflect-free: edge-clamped counts)."""
+    """k x k mean filter via 2D cumsum (reflect-free: edge-clamped counts).
+
+    The integral image accumulates in int64: fp32 cumsums reach ~4e8 on a
+    1280^2 image where fp32 spacing is ~32, corrupting blurred values by
+    up to 5 intensity levels in the bottom-right corner.
+    """
     pad = k // 2
-    x = img.astype(np.float32)
+    x = img.astype(np.int64)
     x = np.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     c = x.cumsum(0).cumsum(1)
     c = np.pad(c, ((1, 0), (1, 0), (0, 0)))
     h, w = img.shape[:2]
     out = (c[k:k + h, k:k + w] - c[:h, k:k + w]
-           - c[k:k + h, :w] + c[:h, :w]) / (k * k)
+           - c[k:k + h, :w] + c[:h, :w]).astype(np.float64) / (k * k)
     return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
 
 def median_blur(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k median filter; np.partition in uint8 keeps the sliding-window
+    buffer at h*w*c*k^2 bytes (np.median would promote it to float64 —
+    ~0.5-2 GB per call at training sizes, an OOM risk with several
+    dataloader workers on the p=0.01 branch)."""
     pad = k // 2
     x = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     win = np.lib.stride_tricks.sliding_window_view(x, (k, k), axis=(0, 1))
-    return np.median(win.reshape(*img.shape, k * k), axis=-1).astype(np.uint8)
+    win = win.reshape(*img.shape, k * k).copy()  # contiguous for partition
+    mid = k * k // 2
+    win.partition(mid, axis=-1)
+    return win[..., mid]
 
 
 def _luma(img: np.ndarray) -> np.ndarray:
@@ -266,13 +278,11 @@ def clahe(img: np.ndarray, clip_limit: float = 4.0, tiles: int = 8) -> np.ndarra
     j1 = np.clip(j0 + 1, 0, tiles - 1)
     fy = np.clip(gy - i0, 0, 1)[:, None]
     fx = np.clip(gx - j0, 0, 1)[None, :]
-    lut = np.arange(256)
     v = yi.astype(int)
     m00 = maps[i0[:, None], j0[None, :], v]
     m01 = maps[i0[:, None], j1[None, :], v]
     m10 = maps[i1[:, None], j0[None, :], v]
     m11 = maps[i1[:, None], j1[None, :], v]
-    del lut
     new_y = (m00 * (1 - fy) * (1 - fx) + m01 * (1 - fy) * fx
              + m10 * fy * (1 - fx) + m11 * fy * fx)
     gain = (new_y + 1.0) / (y + 1.0)

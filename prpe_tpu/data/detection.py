@@ -155,10 +155,7 @@ class YoloMosaicDataset:
         size = self.base.image_size
 
         def one(i):
-            img, lab = self.base.raw(i)
-            if self.hsv:
-                img = hsv_augment(img, rng)
-            return img, lab
+            return self.base.raw(i)
 
         if rng.random() < self.mosaic_prob:
             idxs = [idx] + list(rng.integers(0, len(self.base), 3))
@@ -172,13 +169,22 @@ class YoloMosaicDataset:
                 img2, labels2 = random_perspective(
                     img2, labels2, rng, **self.affine)
                 img, labels = mixup(img, labels, img2, labels2, rng)
-            if self.visual_prob > 0:
-                img = random_visual(img, rng, self.visual_prob)
         else:
+            # non-mosaic branch still applies the affine after the letterbox
+            # resize (reference: dataset.py:44-55)
             img, labels = one(idx)
             from prpe_tpu.native import resize_bilinear_u8
 
             img = resize_bilinear_u8(img, size, size)
+            img, labels = random_perspective(img, labels, rng, **self.affine)
+        # post-composition augs run ONCE on the final image, in reference
+        # order: albumentations visuals -> HSV -> flips (dataset.py:63-78).
+        # HSV per source tile would give one sample up to 8 independent
+        # color shifts the reference never produces.
+        if self.visual_prob > 0:
+            img = random_visual(img, rng, self.visual_prob)
+        if self.hsv:
+            img = hsv_augment(img, rng)
         if rng.random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
             if labels.size:

@@ -130,4 +130,10 @@ def make_epoch_loader(
             return prefetch_to_device(it, prefetch, sharding)
         return it
 
+    # actual optimizer steps per epoch (drop_last batching over the
+    # truncated, host-sharded index stream) — schedule horizons must use
+    # this, not the max_samples cap (a cap larger than the dataset would
+    # leave e.g. OneCycle stuck pre-anneal forever)
+    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    loader.steps_per_epoch = (n // sampler.shard_count) // batch_size
     return loader

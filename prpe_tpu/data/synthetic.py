@@ -116,4 +116,5 @@ def make_loader(task: str, *, batches_per_epoch: int = 4, seed: int = 0, **kw):
         for _ in range(batches_per_epoch):
             yield maker(rng, **kw)
 
+    loader.steps_per_epoch = batches_per_epoch
     return loader

@@ -88,11 +88,13 @@ def _interp_ap(recalls: np.ndarray, precisions: np.ndarray) -> float:
 
 
 def _pred_geometry(p: dict) -> Tuple[float, np.ndarray]:
-    """(area, kpts) for a result dict — COCO.loadRes derives keypoint-result
-    area/bbox from the extent of ALL keypoint coordinates."""
+    """(area, kpts) for a result dict. COCO.loadRes UNCONDITIONALLY
+    overwrites keypoint-result area with the keypoint-extent rectangle
+    (pycocotools coco.py loadRes: ann['area'] = (x1-x0)*(y1-y0)), even when
+    the result carries its own 'area' (the reference's prediction dicts do —
+    pose_estimation/module.py:552-559); honoring a caller area here would
+    shift the medium/large bucketing and diverge from COCOeval."""
     k = np.asarray(p["keypoints"], np.float32).reshape(-1, 3)
-    if "area" in p:
-        return float(p["area"]), k
     x, y = k[:, 0], k[:, 1]
     return float((x.max() - x.min()) * (y.max() - y.min())), k
 
@@ -220,8 +222,12 @@ def evaluate_keypoints(
         out[f"AP{suffix}"] = float(np.mean(aps))
         out[f"AR{suffix}"] = float(np.mean(ars))
         if area_name == "all":
-            out["AP50"] = aps[0]
-            out["AP75"] = aps[5]
-            out["AR50"] = ars[0]
-            out["AR75"] = ars[5]
+            # locate .5/.75 in the (possibly caller-supplied) threshold grid
+            # instead of assuming the default 10-point layout
+            i50 = int(np.argmin(np.abs(thresholds - 0.50)))
+            i75 = int(np.argmin(np.abs(thresholds - 0.75)))
+            out["AP50"] = aps[i50]
+            out["AP75"] = aps[i75]
+            out["AR50"] = ars[i50]
+            out["AR75"] = ars[i75]
     return out

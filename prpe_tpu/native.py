@@ -171,14 +171,12 @@ def _np_hsv_lut(img: np.ndarray, rh: float, rs: float, rv: float) -> np.ndarray:
     p = v2 * (1.0 - s2)
     q = v2 * (1.0 - s2 * f)
     t = v2 * (1.0 - s2 * (1.0 - f))
-    z = np.zeros_like(v2)
     ro = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
                     sector == 4], [v2, q, p, p, t], default=v2)
     go = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
                     sector == 4], [t, v2, v2, q, p], default=p)
     bo = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
                     sector == 4], [p, p, t, v2, v2], default=q)
-    del z
     out = np.stack([ro, go, bo], -1)
     return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 

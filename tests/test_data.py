@@ -202,3 +202,56 @@ def test_synthetic_schemas():
     assert f["label"].shape == (3,)
     p = synthetic.pose_batch(rng, 2, 64, 3)
     assert p["keypoints"].shape == (2, 3, 17, 3) and p["mask"].any()
+
+
+# --------------------------------------------------------------------------
+# YoloMosaicDataset pipeline order (reference: yolopt/dataset.py:28-78 —
+# mosaic/affine [+ mixup] OR resize+affine, then albumentations visuals,
+# then ONE augment_hsv on the composed image, then flips)
+# --------------------------------------------------------------------------
+
+def _make_disk_dataset(tmp_path, n=6, size=64):
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images" / "train"
+    lab_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    for i in range(n):
+        img = (rng.uniform(0, 1, (size, size, 3)) * 255).astype(np.uint8)
+        PILImage.fromarray(img).save(img_dir / f"{i}.png")
+        (lab_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    from prpe_tpu.data.detection import YoloTxtDataset
+
+    return YoloTxtDataset(str(tmp_path), "train", size, max_gt=8)
+
+
+def test_mosaic_dataset_hsv_applied_once_post_composition(tmp_path, monkeypatch):
+    from prpe_tpu.data import augment
+    from prpe_tpu.data.detection import YoloMosaicDataset
+
+    base = _make_disk_dataset(tmp_path)
+    calls = {"hsv": 0, "affine": 0}
+    real_hsv, real_affine = augment.hsv_augment, augment.random_perspective
+    monkeypatch.setattr(augment, "hsv_augment",
+                        lambda img, rng: (calls.__setitem__("hsv", calls["hsv"] + 1),
+                                          real_hsv(img, rng))[1])
+    monkeypatch.setattr(augment, "random_perspective",
+                        lambda *a, **k: (calls.__setitem__("affine", calls["affine"] + 1),
+                                         real_affine(*a, **k))[1])
+
+    # mosaic always on, mixup always on: two mosaic composites, ONE hsv
+    ds = YoloMosaicDataset(base, mosaic_prob=1.0, mixup_prob=1.0, seed=3)
+    sample = ds[0]
+    assert calls["hsv"] == 1
+    assert calls["affine"] == 2  # one per mosaic composite
+    assert sample["image"].shape == (64, 64, 3)
+    assert sample["gt_boxes"].min() >= 0.0 and sample["gt_boxes"].max() <= 1.0
+
+    # non-mosaic branch: affine still runs (reference dataset.py:44-55)
+    calls["hsv"] = calls["affine"] = 0
+    ds = YoloMosaicDataset(base, mosaic_prob=0.0, mixup_prob=0.0, seed=3)
+    ds[0]
+    assert calls["hsv"] == 1
+    assert calls["affine"] == 1

@@ -120,10 +120,12 @@ def cocoeval_reference(predictions, annotations):
         gts_by_img.setdefault(a["image_id"], []).append(g)
     for p in predictions:
         d = dict(p)
-        if "area" not in d:  # COCO.loadRes keypoint-result geometry
-            kp = np.asarray(p["keypoints"], np.float64)
-            x, y = kp[0::3], kp[1::3]
-            d["area"] = (x.max() - x.min()) * (y.max() - y.min())
+        # COCO.loadRes keypoint-result geometry: area is ALWAYS recomputed
+        # from the keypoint extent, clobbering any caller-supplied value
+        # (pycocotools coco.py loadRes keypoints branch)
+        kp = np.asarray(p["keypoints"], np.float64)
+        x, y = kp[0::3], kp[1::3]
+        d["area"] = (x.max() - x.min()) * (y.max() - y.min())
         dts_by_img.setdefault(p["image_id"], []).append(d)
 
     img_ids = sorted(set(gts_by_img) | set(dts_by_img))
