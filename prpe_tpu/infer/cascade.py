@@ -147,7 +147,9 @@ def build_cascade_runner(
     def run(variables, images, gallery):
         b = images.shape[0]
         size = images.shape[1]
-        g_slots = pose_capacity or max(1, b * 2)
+        # both budgets clamp to the candidate count: top_k with k larger
+        # than b*K (e.g. pose_capacity > B*max_persons) is a trace error
+        g_slots = min(pose_capacity or max(1, b * 2), b * kp)
         f_slots = min(cascade_cfg.face_capacity or max(1, b * 2), b * kf)
         nms_k = min(cascade_cfg.pre_nms_top_k, det.pre_nms_top_k)
 

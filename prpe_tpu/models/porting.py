@@ -213,7 +213,11 @@ def port_irnet(
     params["output_bn"], stats["output_bn"] = p, s
     w = _np(sd["output_layer.3.weight"])  # (512, C*H*W), C-major flatten
     out_ch = 512 if basic else 2048
-    spatial = 7 if True else 14  # 112-px inputs -> 7x7 (the only case we use)
+    # infer the output grid from the weight itself: 7x7 for 112-px
+    # checkpoints, 14x14 for 224-px ones (both supported by nn/irnet.py)
+    spatial = int(round((w.shape[1] // out_ch) ** 0.5))
+    assert spatial * spatial * out_ch == w.shape[1], (
+        f"output_layer.3.weight in-dim {w.shape[1]} is not {out_ch}*s^2")
     w = w.reshape(w.shape[0], out_ch, spatial, spatial).transpose(0, 2, 3, 1)
     params["output_linear"] = {
         "kernel": w.reshape(w.shape[0], -1).T,
@@ -455,7 +459,6 @@ def port_combined(
 def merge_variables(base: Dict[str, Any], ported: Dict[str, Any]) -> Dict[str, Any]:
     """Recursively overlay ``ported`` leaves onto ``base`` (freshly-initialized)
     variables — the equivalent of torch ``load_state_dict(strict=False)``."""
-    import jax
 
     def _merge(b, p):
         if isinstance(b, dict) and isinstance(p, dict):

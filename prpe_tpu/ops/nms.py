@@ -113,7 +113,12 @@ def _nms_batched(
         + top_classes.astype(jnp.float32)[..., None] * max_wh
     )
 
-    from prpe_tpu.ops.pallas.nms_kernel import MAX_PALLAS_K, pallas_greedy_nms
+    # import only on the kernel path: CPU/lax callers must not depend on
+    # the pallas TPU modules importing cleanly
+    if use_pallas:
+        from prpe_tpu.ops.pallas.nms_kernel import (
+            MAX_PALLAS_K, pallas_greedy_nms,
+        )
 
     if use_pallas and k <= MAX_PALLAS_K:
         keep = pallas_greedy_nms(off_boxes, valid, iou_threshold)

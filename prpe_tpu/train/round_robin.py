@@ -42,8 +42,9 @@ class TaskRuntime:
     train_loader: Callable[[int], Iterable]  # epoch -> iterable of batches
     val_loader: Optional[Callable[[int], Iterable]] = None
     eval_hook: Optional[Callable[[list], Dict[str, float]]] = None
-    # eval_hook consumes the list of (metrics, predictions) eval outputs and
-    # returns extra host-side metrics (mAP, COCO AP, ...)
+    # eval_hook consumes the accumulated list of (predictions, host_batch)
+    # pairs — predictions already device_get, batch as the loader yielded
+    # it — and returns extra host-side metrics (mAP, COCO AP, ...)
 
 
 class RoundRobinTrainer:
@@ -110,6 +111,8 @@ class RoundRobinTrainer:
             for t in tasks if t.wandb_project
         }
         self.start_epoch = 0
+        # index of the first task to run at start_epoch (mid-cycle resume)
+        self._resume_task_index = 0
         self._rng = jax.random.key(train_cfg.seed)
 
     # ----------------------------------------------------------------- #
@@ -135,13 +138,29 @@ class RoundRobinTrainer:
     # ----------------------------------------------------------------- #
     def resume(self, path: Optional[str] = None):
         """Restore state + epoch bookkeeping
-        (reference: round_robin_trainer.py:375-393)."""
+        (reference: round_robin_trainer.py:375-393).
+
+        Checkpoints are written after every (epoch, task), so a crash
+        mid-cycle must resume with the REMAINING tasks of that epoch —
+        restarting at epoch+1 would silently drop the un-run tasks'
+        epoch-slice of training (and their eval/best updates).
+        """
         restored, entry = self.ckpt.restore(jax.device_get(self.state), path)
         self.state = restored
-        self.start_epoch = int(entry.get("epoch", -1)) + 1
+        epoch = int(entry.get("epoch", -1))
+        names = list(self.tasks)
+        last = entry.get("last_task")
+        if last in names and last != names[-1]:
+            self.start_epoch = epoch
+            self._resume_task_index = names.index(last) + 1
+        else:
+            self.start_epoch = epoch + 1
+            self._resume_task_index = 0
         self.logger.info(
-            "resumed from %s (epoch %s, last task %s)",
-            path or "latest", entry.get("epoch"), entry.get("last_task"),
+            "resumed from %s (epoch %s, last task %s -> continuing at "
+            "epoch %d task %s)",
+            path or "latest", entry.get("epoch"), last,
+            self.start_epoch, names[self._resume_task_index],
         )
 
     # ----------------------------------------------------------------- #
@@ -150,14 +169,27 @@ class RoundRobinTrainer:
         tracker = MetricTracker()
         t0 = time.time()
         n_images = 0
+        collected = []
+        log_every = max(1, self.cfg.log_every_steps)
         with self._mesh_ctx():
-            for batch in rt.train_loader(epoch):
+            for i, batch in enumerate(rt.train_loader(epoch)):
                 self._rng, step_rng = jax.random.split(self._rng)
                 self.state, metrics = rt.train_step(
                     self.state, self._put_batch(batch), step_rng)
                 bs = next(iter(batch.values())).shape[0]
                 n_images += bs
-                tracker.update(jax.device_get(metrics), bs)
+                # keep metric scalars on device: a per-step device_get would
+                # block the host on every step and serialize batch prep with
+                # device compute; one transfer per epoch overlaps them
+                collected.append((metrics, bs))
+                if (i + 1) % log_every == 0:
+                    self.logger.info(
+                        "epoch %d | task %s | step %d | loss %.5f (%.0f img/s)",
+                        epoch, name, i + 1, float(metrics["loss"]),
+                        n_images / max(time.time() - t0, 1e-9),
+                    )
+        for m, bs in jax.device_get(collected):
+            tracker.update(m, bs)
         means = {f"train/{k}": v for k, v in tracker.means().items()}
         dt = time.time() - t0
         means["train/images_per_sec"] = n_images / max(dt, 1e-9)
@@ -169,7 +201,15 @@ class RoundRobinTrainer:
             return {}
         tracker = MetricTracker()
         outputs = []
-        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        # evaluate the EMA weights when the task maintains them — the
+        # reference's standalone trainer always validates the EMA model
+        # (yolopt/main.py:135-161); scoring best-checkpoint monitors on the
+        # raw weights would select on the noisier metric while paying the
+        # EMA update cost for nothing
+        params = self.state.params
+        if rt.config.optim.use_ema and self.state.ema_params is not None:
+            params = self.state.ema_params
+        variables = {"params": params, "batch_stats": self.state.batch_stats}
         with self._mesh_ctx():
             for batch in rt.val_loader(epoch):
                 metrics, preds = rt.eval_step(variables, self._put_batch(batch))
@@ -191,7 +231,9 @@ class RoundRobinTrainer:
         total_epochs = total_epochs or self.cfg.total_epochs
         history = []
         for epoch in range(self.start_epoch, total_epochs):
-            for name, rt in self.tasks.items():
+            for ti, (name, rt) in enumerate(self.tasks.items()):
+                if epoch == self.start_epoch and ti < self._resume_task_index:
+                    continue  # mid-cycle resume: this task already ran
                 self.logger.info("epoch %d | task %s", epoch, name)
                 metrics = self.train_task_epoch(epoch, name)
                 metrics.update(self.eval_task(epoch, name))

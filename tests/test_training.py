@@ -215,16 +215,27 @@ def test_round_robin_end_to_end(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
     # resume by BARE checkpoint name (the documented CLI convention) must
-    # resolve against the checkpoint dir AND recover epoch bookkeeping
+    # resolve against the checkpoint dir AND recover epoch bookkeeping.
+    # The first checkpoint is (epoch 0, person_detection) — a MID-CYCLE
+    # point: resume must continue epoch 0 with the remaining tasks, not
+    # skip to epoch 1 (which would drop their epoch-0 training slice).
     import json as _json
     meta = _json.loads((tmp_path / "ckpt" / "meta.json").read_text())
-    first_name = meta["checkpoints"][0]["name"]
+    task_names = [t.name for t in tasks]
+    # pick a retained checkpoint written mid-cycle (keep_checkpoints may
+    # have trimmed the earliest epochs, so don't assume epoch 0 survives)
+    e0 = next(e for e in meta["checkpoints"] if e["last_task"] != task_names[-1])
     trainer3 = RoundRobinTrainer(
         model, cfg, tcfg, jax.tree_util.tree_map(jnp.copy, variables),
         loaders, log_dir=str(tmp_path / "logs3"),
     )
-    trainer3.resume(first_name)
-    assert trainer3.start_epoch == meta["checkpoints"][0]["epoch"] + 1
+    trainer3.resume(e0["name"])
+    assert trainer3.start_epoch == e0["epoch"]
+    assert trainer3._resume_task_index == task_names.index(e0["last_task"]) + 1
+    # training to the end of that epoch runs exactly the REMAINING tasks
+    out3 = trainer3.train(e0["epoch"] + 1)
+    resumed_tasks = [h["task"] for h in out3["history"]]
+    assert resumed_tasks == task_names[task_names.index(e0["last_task"]) + 1:]
 
     # resume by a best_* checkpoint name: its entry lives in meta["best"],
     # not meta["checkpoints"] — must still recover epoch bookkeeping
@@ -235,4 +246,8 @@ def test_round_robin_end_to_end(setup, tmp_path):
         loaders, log_dir=str(tmp_path / "logs4"),
     )
     trainer4.resume(best_entry["name"])
-    assert trainer4.start_epoch == best_entry["epoch"] + 1
+    if best_task == task_names[-1]:
+        assert trainer4.start_epoch == best_entry["epoch"] + 1
+    else:  # mid-cycle: continue the same epoch with the remaining tasks
+        assert trainer4.start_epoch == best_entry["epoch"]
+        assert trainer4._resume_task_index == task_names.index(best_task) + 1
