@@ -48,44 +48,19 @@ def _probe_backend(timeout_s: float = 600.0) -> bool:
         return False
 
 
-def _probe_fused_attention(timeout_s: float = 900.0) -> bool:
-    """Compile the fused MHSA Pallas kernel on the real backend in a child
-    process; enable it for the benchmark only if that succeeds. The kernel's
-    numerics and TPU lowering are test-validated, but the Mosaic backend
-    compile has not run on a live chip in this environment yet — a failure
-    must degrade to the measured-good einsum path, not kill the benchmark."""
-    import os
-    import subprocess
-    import sys
-
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "from prpe_tpu.ops.pallas.attention_kernel import _pallas_forward;"
-        "s = jax.ShapeDtypeStruct((4, 192, 12, 64), jnp.bfloat16);"
-        "jax.jit(_pallas_forward).lower(s, s, s).compile();"
-        "print('fused-attention compile ok')"
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
-    import os
     import sys
 
     if not _probe_backend():
         print("bench.py: JAX backend unreachable (TPU relay wedged?) — "
               "refusing to hang", file=sys.stderr)
         return 1
-    if "PRPE_FUSED_ATTENTION" not in os.environ and _probe_fused_attention():
-        os.environ["PRPE_FUSED_ATTENTION"] = "1"
-        print("bench.py: fused attention kernel enabled", file=sys.stderr)
+    # The fused MHSA Pallas kernel (ops/pallas/attention_kernel.py) is NOT
+    # auto-enabled: measured on the live v5e chip 2026-08-18 it is SLOWER
+    # than XLA's einsum schedule at the ViTPose shape (seq 192, 12 heads:
+    # bf16 0.806 ms vs 0.472 ms, fp32 parity) — XLA already fuses the short
+    # sequence well. Kernel stays opt-in via PRPE_FUSED_ATTENTION=1 for
+    # long-sequence variants where the flash-style tiling pays off.
 
     import jax
     import jax.numpy as jnp

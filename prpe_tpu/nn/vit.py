@@ -45,9 +45,10 @@ class MHSA(nn.Module):
         v = v.reshape(b, t, self.heads, hd)
         # PRPE_FUSED_ATTENTION=1 routes through the fused Pallas kernel
         # (ops/pallas/attention_kernel.py — identical fp32-softmax numerics,
-        # einsum fallback off-TPU). Opt-in because the Mosaic compile has
-        # only been validated via jax.export lowering, not a live chip, on
-        # this host; bench.py flips it on after a subprocess compile probe.
+        # einsum fallback off-TPU). Opt-in: measured on a live v5e chip
+        # (2026-08-18) the kernel is slower than XLA's own schedule at this
+        # short sequence (bf16 b=64,t=192,h=12: 0.806 ms vs 0.472 ms einsum;
+        # fp32 parity) — keep it for long-sequence variants only.
         import os
 
         if os.environ.get("PRPE_FUSED_ATTENTION") == "1":
