@@ -28,6 +28,55 @@ from prpe_tpu.nn.common import bilinear_resize, inference_bn
 Dtype = Any
 
 
+class PatchEmbed(nn.Module):
+    """k x k / stride-k patch-embedding conv, computed as pad + space-to-depth
+    reshape + one (k*k*c, hidden) matmul.
+
+    Because stride == kernel size the convolution is exactly a non-overlapping
+    patch extraction followed by a dense projection. XLA lowers the equivalent
+    ``nn.Conv`` forward acceptably, but its *backward* (grad wrt the 3-channel
+    input) becomes a 16x16-scatter conv-transpose onto a 3-channel tensor that
+    measured 73.4 ms/step at ~0.1 TFLOP/s on a v5e — 28% of the whole pose
+    train step (tools/profile_train.py, 2026-08-18). The matmul formulation's
+    backward is a plain [B*T, 768] x [768, 768] GEMM (~0.2 ms).
+
+    Parameter names/shapes are identical to ``nn.Conv`` ((k, k, c, hidden)
+    "kernel" + (hidden,) "bias"), so porting (models/porting.py:101-104) and
+    existing checkpoints are unaffected. Matches HF ViTPose's
+    ``patch_embeddings.projection`` conv semantics (padding=2).
+    """
+
+    hidden: int
+    patch: int
+    padding: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p, pad = self.patch, self.padding
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c, self.hidden),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.hidden,), jnp.float32
+        )
+        gh = (h + 2 * pad - p) // p + 1
+        gw = (w + 2 * pad - p) // p + 1
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # patches tile the padded image from offset 0; any padded rows/cols
+        # beyond gh*p / gw*p are never touched by the conv windows
+        xp = xp[:, : gh * p, : gw * p]
+        patches = xp.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(b, gh, gw, p * p * c).astype(self.dtype)
+        # (kh, kw, c) flattening order matches the patch flattening above
+        w_mat = kernel.reshape(p * p * c, self.hidden).astype(self.dtype)
+        return patches @ w_mat + bias.astype(self.dtype)
+
+
 class MHSA(nn.Module):
     hidden: int
     heads: int
@@ -97,14 +146,14 @@ class ViTPoseBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         h, w = self.image_size
-        # HF patch conv uses padding=2 with k=16/s=16 (see module docstring)
+        # HF patch conv uses padding=2 with k=16/s=16 (see module docstring);
+        # stride==kernel, so it lowers as patchify + matmul (PatchEmbed)
         gh = (h + 4 - self.patch_size) // self.patch_size + 1
         gw = (w + 4 - self.patch_size) // self.patch_size + 1
-        x = nn.Conv(
-            self.hidden,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding=[(2, 2), (2, 2)],
+        x = PatchEmbed(
+            hidden=self.hidden,
+            patch=self.patch_size,
+            padding=2,
             dtype=self.dtype,
             name="patch_embed",
         )(x)

@@ -132,3 +132,27 @@ def test_merge_variables_shape_check():
     bad = {"params": {"a": np.ones((3, 3))}}
     with pytest.raises(ValueError):
         porting.merge_variables(base, bad)
+
+
+def test_patch_embed_matches_conv(rng):
+    """PatchEmbed's patchify+matmul must equal the stride==kernel nn.Conv it
+    replaces (HF patch_embeddings.projection semantics: k=16, s=16, pad=2) —
+    same params, same output, for both ViTPose geometries."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from prpe_tpu.nn.vit import PatchEmbed
+
+    for h, w in ((256, 192), (320, 320)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+        pe = PatchEmbed(hidden=768, patch=16, padding=2)
+        params = pe.init(jax.random.key(0), x)
+        conv = nn.Conv(768, (16, 16), strides=(16, 16),
+                       padding=[(2, 2), (2, 2)])
+        got = pe.apply(params, x)
+        gh, gw = got.shape[1], got.shape[2]
+        want = conv.apply(params, x)
+        assert want.shape == (2, gh, gw, 768)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
