@@ -30,7 +30,7 @@ from prpe_tpu.data import synthetic
 from prpe_tpu.models.combined import CombinedModel
 from prpe_tpu.train.optim import build_optimizer
 from prpe_tpu.train.state import create_train_state
-from prpe_tpu.train.steps import make_train_step
+from prpe_tpu.train.steps import make_train_step, mask_optimizer
 
 TRACE_DIR = "/tmp/prpe_train_trace"
 ALL_TASKS = ("person_detection", "face_detection", "face_recognition",
@@ -44,7 +44,10 @@ def main(batch=32, size=640, tasks=ALL_TASKS, iters=3):
         lambda k: model.init(k, jnp.zeros((1, size, size, 3)),
                              jnp.zeros((1,), jnp.int32), method="init_all")
     )(jax.random.key(0))
-    txs = {t: build_optimizer(OptimConfig(learning_rate=1e-3)) for t in tasks}
+    # branch-scope optimizers, matching bench_train.py / the reference's
+    # per-task optimizers (frozen trunk => XLA drops the backbone backward)
+    txs = {t: mask_optimizer(build_optimizer(OptimConfig(learning_rate=1e-3)), t)
+           for t in tasks}
     state = jax.jit(lambda v: create_train_state(v, txs))(variables)
 
     rng = np.random.default_rng(0)
