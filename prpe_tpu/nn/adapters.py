@@ -20,7 +20,7 @@ from typing import Any, Callable, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prpe_tpu.nn.common import PReLU, bilinear_resize, inference_bn
+from prpe_tpu.nn.common import PReLU, bilinear_resize, fast_gelu, inference_bn
 
 Dtype = Any
 
@@ -44,7 +44,7 @@ class _ConvBNAct(nn.Module):
         if self.act == "silu":
             return nn.silu(x)
         if self.act == "gelu":
-            return nn.gelu(x, approximate=False)
+            return fast_gelu(x)
         if self.act == "prelu":
             return PReLU(dtype=self.dtype, name="prelu")(x)
         raise ValueError(self.act)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from prpe_tpu.nn.common import bilinear_resize, inference_bn
+from prpe_tpu.nn.common import bilinear_resize, fast_gelu, inference_bn
 
 Dtype = Any
 
@@ -127,7 +127,7 @@ class ViTBlock(nn.Module):
         x = x + MHSA(self.hidden, self.heads, dtype=self.dtype, name="attn")(ln("ln1")(x))
         y = ln("ln2")(x)
         y = nn.Dense(self.hidden * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y)
         y = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(y)
         return x + y
 

@@ -165,3 +165,26 @@ def test_inference_bn_matches_flax_eval_bn():
     before = vv["batch_stats"]["bn"]["mean"]
     after = mut["batch_stats"]["bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_fast_gelu_exact_in_fp32_close_in_bf16():
+    """fast_gelu: fp32 is bit-exact erf GELU (porting parity paths);
+    bf16 uses the tanh approximation, whose error must stay below bf16's
+    own quantization noise."""
+    from prpe_tpu.nn.common import fast_gelu
+
+    x = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fast_gelu(x)),
+        np.asarray(jax.nn.gelu(x, approximate=False)),
+    )
+
+    xb = x.astype(jnp.bfloat16)
+    got = np.asarray(fast_gelu(xb)).astype(np.float32)
+    want = np.asarray(jax.nn.gelu(x, approximate=False))
+    # tanh-approx worst-case absolute error ~3e-3 + bf16 rounding of the
+    # output (|y| <= 6 here -> step <= 0.047)
+    assert np.max(np.abs(got - want)) < 0.05
+    # and in the bulk the two are indistinguishable after bf16 rounding
+    mask = np.abs(x) < 1.0
+    assert np.max(np.abs(got[mask] - want[mask])) < 0.01
