@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import io
+import json
 import pathlib
 import sys
 
@@ -19,6 +20,9 @@ def main(argv=None):
     ap.add_argument("pairs", help="npz from convert_ms1m --output (jpegs, issame)")
     ap.add_argument("--checkpoint", default=None, help="orbax IRNet variables")
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--arch", default="ir_50",
+                    help="IRNet variant (ir_18..ir_se_152); ir_18 for fast "
+                         "CPU smoke runs")
     args = ap.parse_args(argv)
 
     import jax
@@ -32,7 +36,7 @@ def main(argv=None):
     data = np.load(args.pairs, allow_pickle=True)
     jpegs, issame = data["jpegs"], data["issame"]
 
-    model = build_irnet("ir_50")
+    model = build_irnet(args.arch)
     x0 = jnp.zeros((1, 112, 112, 3))
     # jit: one compiled init program instead of per-primitive eager dispatch
     variables = jax.jit(model.init)(jax.random.key(0), x0)
@@ -67,7 +71,7 @@ def main(argv=None):
 
     emb_a, emb_b = embs[0::2], embs[1::2]
     metrics = verification_accuracy(emb_a, emb_b, issame)
-    print(metrics)
+    print(json.dumps({k: float(v) for k, v in metrics.items()}))
     return 0
 
 

@@ -22,6 +22,9 @@ def main(argv=None):
     ap.add_argument("--image-size", type=int, default=640)
     ap.add_argument("--match-threshold", type=float, default=0.4)
     ap.add_argument("--output", default=None, help="write JSON results here")
+    ap.add_argument("--preset", choices=("full", "tiny"), default="full",
+                    help="'tiny' shrinks every component (IR-18, 1-layer "
+                         "ViT) for fast CPU smoke runs / debugging")
     args = ap.parse_args(argv)
 
     import jax
@@ -32,13 +35,24 @@ def main(argv=None):
     from prpe_tpu.data.image import load_image, resize_image
     from prpe_tpu.infer.cascade import CascadeModel, build_cascade_runner
 
-    model = CascadeModel(detection=DetectionConfig(), pose_cfg=PoseConfig())
+    if args.preset == "tiny":
+        # same geometry as tests/test_cascade.py's fixture, so the test
+        # suite's compile cache covers this path
+        model = CascadeModel(
+            detection=DetectionConfig(pre_nms_top_k=64),
+            pose_cfg=PoseConfig(input_size=(64, 48), heatmap_size=(16, 12),
+                                vit_hidden=32, vit_layers=1, vit_heads=2),
+            irnet_layers=18,
+        )
+    else:
+        model = CascadeModel(detection=DetectionConfig(), pose_cfg=PoseConfig())
     img0 = jnp.zeros((1, args.image_size, args.image_size, 3))
+    ph, pw = model.pose_cfg.input_size
     # jit: one compiled init program instead of per-primitive eager dispatch
     variables = jax.jit(
         lambda k, a, b, c: model.init(k, a, b, c, method="init_all")
     )(jax.random.key(0), img0, jnp.zeros((1, 112, 112, 3)),
-      jnp.zeros((1, 256, 192, 3)))
+      jnp.zeros((1, ph, pw, 3)))
     if args.checkpoint:
         import orbax.checkpoint as ocp
 

@@ -29,7 +29,8 @@ def build_task_loaders(args, cfg):
             val = YoloTxtDataset(root, "val", args.image_size, cfg.detection.max_gt)
             return {
                 "train": pipeline.make_epoch_loader(
-                    train, args.batch_size, max_samples=args.max_train_samples),
+                    train, args.batch_size, max_samples=args.max_train_samples,
+                    num_workers=args.num_workers),
                 "val": pipeline.make_epoch_loader(
                     val, args.batch_size, max_samples=args.max_val_samples, shuffle=False),
                 "eval_hook": detection_eval_hook(args.image_size),
@@ -56,7 +57,8 @@ def build_task_loaders(args, cfg):
         fval = IdentityFolderDataset(args.face_rec_data_dir, "val")
         loaders["face_recognition"] = {
             "train": pipeline.make_epoch_loader(ftrain, args.batch_size,
-                                                max_samples=args.max_train_samples),
+                                                max_samples=args.max_train_samples,
+                                                num_workers=args.num_workers),
             "val": pipeline.make_epoch_loader(fval, args.batch_size,
                                               max_samples=args.max_val_samples,
                                               shuffle=False),
@@ -86,7 +88,8 @@ def build_task_loaders(args, cfg):
 
         loaders["pose_estimation"] = {
             "train": pipeline.make_epoch_loader(ptrain, args.batch_size,
-                                                max_samples=args.max_train_samples),
+                                                max_samples=args.max_train_samples,
+                                                num_workers=args.num_workers),
             "val": pipeline.make_epoch_loader(pval, args.batch_size,
                                               max_samples=args.max_val_samples,
                                               shuffle=False),
@@ -122,9 +125,18 @@ def main(argv=None):
     ap.add_argument("--component-dir", default="component_models")
     ap.add_argument("--log-dir", default="runs")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num-workers", type=int, default=0,
+                    help="decode/augment worker processes per TRAIN loader "
+                         "(reference: DataLoader num_workers=4-8; 0 = inline "
+                         "on the prefetch thread — right default for few-core "
+                         "TPU hosts feeding packed data)")
     # mixed precision: bf16 compute / fp32 params is the TPU analogue of the
     # reference's Lightning precision=16 (round_robin_trainer.py:201)
     ap.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
+    ap.add_argument("--preset", choices=("full", "tiny"), default="full",
+                    help="'tiny' = the dryrun/test model (1-block backbone, "
+                         "IR-18, 1-layer ViT, 64-class head) for CPU smoke "
+                         "runs; checkpoints/components are not ported")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable backbone rematerialization (needs more HBM)")
     ap.add_argument("--trainable", choices=("branch", "branch+backbone", "all"),
@@ -164,13 +176,32 @@ def main(argv=None):
         distributed.initialize(args.coordinator, args.num_processes,
                                args.process_id)
 
-    cfg = CombinedModelConfig(
-        image_size=args.image_size,
-        remat_backbone=not args.no_remat,
-        pose=dataclasses.replace(
-            PoseConfig(), sigma=args.pose_sigma, keypoint_thresh=args.keypoint_thresh
-        ),
-    )
+    if args.preset == "tiny":
+        # KEEP IN SYNC with __graft_entry__._dryrun_multichip_body's tiny
+        # config — identical model => the dryrun/suite compile cache applies
+        from prpe_tpu.core.config import AdaFaceConfig, DetectionConfig
+
+        cfg = CombinedModelConfig(
+            image_size=args.image_size,
+            backbone_stages=(1, 1, 1, 1),
+            remat_backbone=not args.no_remat,
+            detection=DetectionConfig(
+                adapter_size=(args.image_size // 2, args.image_size // 2),
+                max_gt=4),
+            face=AdaFaceConfig(arch="ir_18", num_classes=64),
+            pose=dataclasses.replace(
+                PoseConfig(input_size=(32, 32), heatmap_size=(8, 8),
+                           vit_hidden=32, vit_layers=1, vit_heads=2),
+                sigma=args.pose_sigma, keypoint_thresh=args.keypoint_thresh),
+        )
+    else:
+        cfg = CombinedModelConfig(
+            image_size=args.image_size,
+            remat_backbone=not args.no_remat,
+            pose=dataclasses.replace(
+                PoseConfig(), sigma=args.pose_sigma, keypoint_thresh=args.keypoint_thresh
+            ),
+        )
     model, variables = build_variables(
         pathlib.Path(args.component_dir), cfg,
         dtype=jnp.dtype(args.dtype).type,
@@ -231,8 +262,18 @@ def main(argv=None):
     trainer = RoundRobinTrainer(model, cfg, tcfg, variables, loaders,
                                 log_dir=args.log_dir, mesh=mesh)
     if args.resume_checkpoint:
-        trainer.resume(args.resume_checkpoint)
-    trainer.train()
+        # "latest" resolves to the newest checkpoint in --checkpoint-dir
+        trainer.resume(None if args.resume_checkpoint == "latest"
+                       else args.resume_checkpoint)
+    try:
+        trainer.train()
+    finally:
+        # shut down decode worker pools (no-op for inline loaders)
+        for task_loaders in loaders.values():
+            for key in ("train", "val"):
+                fn = task_loaders.get(key)
+                if fn is not None and hasattr(fn, "close"):
+                    fn.close()
     return 0
 
 

@@ -1,3 +1,3 @@
-from prpe_tpu.data import detection, faces, pipeline, pose, synthetic
+from prpe_tpu.data import detection, faces, loader, packed, pipeline, pose, synthetic
 
-__all__ = ["detection", "faces", "pipeline", "pose", "synthetic"]
+__all__ = ["detection", "faces", "loader", "packed", "pipeline", "pose", "synthetic"]

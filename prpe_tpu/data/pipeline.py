@@ -118,17 +118,38 @@ def make_epoch_loader(
     prefetch: int = 2,
     sharding=None,
     collate: Optional[Callable] = None,
+    num_workers: int = 0,
 ) -> Callable[[int], Iterator[Dict[str, Any]]]:
     """Bundle a dataset (len + __getitem__-style ``fetch``) into the
-    epoch -> iterator protocol used by the round-robin trainer."""
+    epoch -> iterator protocol used by the round-robin trainer.
+
+    ``num_workers > 0`` decodes/augments in a pre-forked shared-memory worker
+    pool (data/loader.py) — the reference's ``DataLoader(num_workers=N)``
+    equivalent; 0 decodes inline on the prefetch thread."""
     sampler = LimitedSampler(len(dataset), max_samples, seed, shuffle)
     collate = collate or getattr(dataset, "collate", default_collate)
 
+    pool = None
+    if num_workers > 0:
+        from prpe_tpu.data.loader import MultiprocessLoader
+
+        pool = MultiprocessLoader(
+            dataset, collate, batch_size,
+            num_workers=num_workers, prefetch=max(prefetch, 1), seed=seed,
+        )
+
     def loader(epoch: int):
-        it = batched(sampler.indices(epoch), dataset.__getitem__, collate, batch_size)
+        if pool is not None:
+            it = pool.run(sampler.indices(epoch))
+        else:
+            it = batched(
+                sampler.indices(epoch), dataset.__getitem__, collate, batch_size
+            )
         if prefetch > 0:
             return prefetch_to_device(it, prefetch, sharding)
         return it
+
+    loader.close = pool.close if pool is not None else (lambda: None)
 
     # actual optimizer steps per epoch (drop_last batching over the
     # truncated, host-sharded index stream) — schedule horizons must use

@@ -159,6 +159,13 @@ def build_cascade_runner(
         # retile on the 640^2 input. (Feeding bf16 images from the host skips
         # the cast entirely — pixel-coordinate math in the ROI crops is fp32
         # internally regardless of image dtype, see prpe_tpu/ops/roi.py.)
+        # uint8 input (packed disk pipeline, data/packed.py) is accepted
+        # directly: /255 fuses into the cast and the host->device transfer
+        # shrinks 2-4x.
+        if images.dtype == jnp.uint8:
+            from prpe_tpu.data.packed import apply_image_norm
+
+            images = apply_image_norm(images, "unit", dtype=model.dtype)
         x_det = images.astype(model.dtype)
         person_maps = model.apply(variables, x_det, method="detect_person")
         face_maps = model.apply(variables, x_det, method="detect_face")

@@ -92,21 +92,38 @@ class MHSA(nn.Module):
         q = q.reshape(b, t, self.heads, hd)
         k = k.reshape(b, t, self.heads, hd)
         v = v.reshape(b, t, self.heads, hd)
-        # PRPE_FUSED_ATTENTION=1 routes through the fused Pallas kernel
-        # (ops/pallas/attention_kernel.py — identical fp32-softmax numerics,
-        # einsum fallback off-TPU). Opt-in: measured on a live v5e chip
-        # (2026-08-18) the kernel is slower than XLA's own schedule at this
-        # short sequence (bf16 b=64,t=192,h=12: 0.806 ms vs 0.472 ms einsum;
-        # fp32 parity) — keep it for long-sequence variants only.
+        # PRPE_ATTN_MODE selects the attention formulation (A/B'd on the
+        # live chip by tools/bench_attention.py, ViTPose fwd b=128 bf16):
+        #   pallas_packed  DEFAULT — fused kernel consuming the natural
+        #                  (B,T,C) layout, heads sliced in VMEM, one batched
+        #                  dot_general pair + fp32 softmax on-core
+        #                  (ops/pallas/attention_kernel.py): 33.3 ms
+        #   einsum         XLA einsum chain, fp32 softmax (round-2 default):
+        #                  41.96 ms — the (B,H,T,T) tensor round-trips HBM
+        #   einsum_bf16sm  einsums, bf16 softmax: 41.92 ms (no gain)
+        #   pallas / pallas_unrolled  (B,H,T,D)-layout kernels: 44.5 ms —
+        #                  the HBM transposes cost more than the kernel saves
+        #   pallas_bh      per-(image,head) grid: 51.8 ms (grid overhead)
+        # The kernel falls back to einsums off-TPU; backward is the einsum
+        # recompute either way (custom_vjp), so this is numerics-safe for
+        # training too. PRPE_FUSED_ATTENTION=1 is the legacy round-2 alias.
         import os
 
-        if os.environ.get("PRPE_FUSED_ATTENTION") == "1":
+        mode = os.environ.get("PRPE_ATTN_MODE", "pallas_packed")
+        if os.environ.get("PRPE_FUSED_ATTENTION") == "1" \
+                and "PRPE_ATTN_MODE" not in os.environ:
+            mode = "pallas_unrolled"
+        if mode.startswith("pallas"):
             from prpe_tpu.ops.pallas.attention_kernel import mhsa_attention
 
-            out = mhsa_attention(q, k, v).reshape(b, t, c)
+            variant = mode[len("pallas_"):] or "batched"
+            out = mhsa_attention(q, k, v, False, variant).reshape(b, t, c)
             return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(out)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd**-0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        if mode == "einsum_bf16sm":
+            attn = jax.nn.softmax(attn, axis=-1)
+        else:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, c)
         return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(out)
 

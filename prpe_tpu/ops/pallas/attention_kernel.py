@@ -54,6 +54,64 @@ def _mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
+def _mhsa_kernel_batched(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """All heads in ONE batched dot_general pair per image: Mosaic emits the
+    12 MXU contractions back-to-back (no per-head VPU interleave) and the
+    softmax vectorizes across heads in a single (H*T, T) sweep."""
+    q = q_ref[0]  # (H, T, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (H, T, T) fp32
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H, T, D)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _mhsa_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One (image, head) per program; grid dims marked PARALLEL so Mosaic
+    double-buffers the tiny (T, D) blocks across the 1536-program grid."""
+    q = q_ref[0, 0]  # (T, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0, 0] = jnp.dot(
+        p.astype(q.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _mhsa_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    """Consumes the NATURAL (B, T, H*D) layout of the q/k/v Dense outputs —
+    no HBM transposes at all (the (B,H,T,D) relayout around the other
+    variants measured ~8 ms/step at the cascade shape, more than the kernel
+    saves). Heads are gathered by 64-wide lane slices into a VMEM-local
+    (H, T, D) stack, then contracted as one batched dot_general pair."""
+    t, c = q_ref.shape[1], q_ref.shape[2]
+    d = c // heads
+    q = jnp.stack([q_ref[0, :, h * d:(h + 1) * d] for h in range(heads)])
+    k = jnp.stack([k_ref[0, :, h * d:(h + 1) * d] for h in range(heads)])
+    v = jnp.stack([v_ref[0, :, h * d:(h + 1) * d] for h in range(heads)])
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (H, T, T) fp32
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)  # (H, T, D)
+    o_ref[0] = jnp.concatenate(list(o), axis=-1)
+
+
 def _attention_reference(q, k, v):
     """The einsum path (nn/vit.py MHSA semantics): fp32 logits + softmax."""
     d = q.shape[-1]
@@ -62,48 +120,86 @@ def _attention_reference(q, k, v):
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
 
-def _pallas_forward(q, k, v, *, interpret: bool = False):
+def _pallas_forward(q, k, v, *, interpret: bool = False, variant: str = "unrolled"):
     b, t, h, d = q.shape
     scale = d**-0.5
+    if variant == "packed":
+        # natural layout end-to-end: (B, T, H*D) in, (B, T, H*D) out
+        c = h * d
+        spec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_mhsa_kernel_packed, heads=h, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+            grid=(b,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
+        )(q.reshape(b, t, c), k.reshape(b, t, c), v.reshape(b, t, c)
+          ).reshape(b, t, h, d)
     # (B, H, T, D) layout: per-head (T, D) planes are full blocks, no
     # lane-dim slicing inside the kernel (Mosaic-friendly). The transposes
     # are ~0.9 MB/image of pure bandwidth.
     qf = q.transpose(0, 2, 1, 3)
     kf = k.transpose(0, 2, 1, 3)
     vf = v.transpose(0, 2, 1, 3)
+    if variant == "bh":
+        spec = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_mhsa_kernel_bh, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            grid=(b, h),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,
+                                     pltpu.GridDimensionSemantics.PARALLEL)),
+        )(qf, kf, vf)
+        return out.transpose(0, 2, 1, 3)
     spec = pl.BlockSpec((1, h, t, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
+    kern = (functools.partial(_mhsa_kernel_batched, scale=scale)
+            if variant == "batched"
+            else functools.partial(_mhsa_kernel, heads=h, scale=scale))
     out = pl.pallas_call(
-        functools.partial(_mhsa_kernel, heads=h, scale=scale),
+        kern,
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         grid=(b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
     )(qf, kf, vf)
     return out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def mhsa_attention(q, k, v, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def mhsa_attention(q, k, v, interpret: bool = False, variant: str = "batched"):
     """Fused softmax(Q K^T / sqrt(d)) V over (B, T, H, D) tensors.
 
     Falls back to the einsum path automatically on non-TPU backends (the
     kernel itself is TPU-only; `interpret=True` forces the Pallas
-    interpreter for CPU tests).
+    interpreter for CPU tests). ``variant``: "batched" (default — all heads
+    in one dot_general pair, see _mhsa_kernel_batched), "unrolled" (round-2
+    per-head loop), "bh" (one program per (image, head)).
     """
     if not interpret and jax.default_backend() != "tpu":
         return _attention_reference(q, k, v)
     if q.shape[1] > MAX_PALLAS_T:
         return _attention_reference(q, k, v)
-    return _pallas_forward(q, k, v, interpret=interpret)
+    return _pallas_forward(q, k, v, interpret=interpret, variant=variant)
 
 
-def _fwd(q, k, v, interpret):
-    return mhsa_attention(q, k, v, interpret), (q, k, v)
+def _fwd(q, k, v, interpret, variant):
+    return mhsa_attention(q, k, v, interpret, variant), (q, k, v)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, variant, res, g):
     """Standard attention backward, recomputed with XLA einsums — the
     training path pays one extra forward's worth of matmuls, matching what
     flash-style kernels do anyway."""

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from prpe_tpu.core.config import CombinedModelConfig
+from prpe_tpu.data.packed import apply_image_norm
 from prpe_tpu.ops import heatmap as heatmap_ops
 from prpe_tpu.ops import losses as L
 from prpe_tpu.ops import nms as nms_ops
@@ -33,6 +34,18 @@ from prpe_tpu.nn.yolo import decode_predictions
 from prpe_tpu.train.state import TrainState, update_ema
 
 DETECTION_TASKS = ("person_detection", "face_detection")
+
+# Host normalization each task's dataset applies (detection: /255,
+# object_detection/datamodule.py:93-100; faces: mean/std 0.5 —
+# face_recognition/datamodule.py:195-199; pose: ImageNet —
+# pose_estimation/datamodule.py:125-145). Packed uint8 batches re-apply it
+# on-device via apply_image_norm.
+TASK_IMAGE_NORM = {
+    "person_detection": "unit",
+    "face_detection": "unit",
+    "face_recognition": "half",
+    "pose_estimation": "imagenet",
+}
 
 # Param subtrees each task's optimizer covers. Reference parity: every task
 # optimizer holds ONLY its branch (adapter + net [+ margin kernel]) — the
@@ -89,6 +102,13 @@ def make_loss_fn(model, task: str, cfg: CombinedModelConfig) -> Callable:
     pose = cfg.pose
 
     def loss_fn(params, batch_stats, batch, rng, train: bool = True):
+        # packed-pipeline batches ship raw uint8 pixels (4x cheaper over the
+        # host->device link); re-apply the task's normalization on-device
+        # where XLA fuses it into the first conv (data/packed.py)
+        batch = dict(batch)
+        batch["image"] = apply_image_norm(
+            batch["image"], TASK_IMAGE_NORM[task]
+        )
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dropout": rng} if train else None
         mutable = ["batch_stats"] if train else []
@@ -256,6 +276,10 @@ def make_eval_step(model, task: str, cfg: CombinedModelConfig) -> Callable:
 
     @jax.jit
     def step(variables, batch):
+        batch = dict(batch)
+        batch["image"] = apply_image_norm(
+            batch["image"], TASK_IMAGE_NORM[task]
+        )
         params, batch_stats = variables["params"], variables["batch_stats"]
         dummy_rng = jax.random.key(0)
 

@@ -10,14 +10,16 @@ from prpe_tpu.ops.pallas.attention_kernel import (
 )
 
 
+@pytest.mark.parametrize("variant", ["unrolled", "batched", "bh"])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_kernel_matches_einsum_reference(rng, dtype):
+def test_kernel_matches_einsum_reference(rng, dtype, variant):
     b, t, h, d = 2, 192, 12, 64
     q = jnp.asarray(rng.normal(0, 1, (b, t, h, d)), dtype)
     k = jnp.asarray(rng.normal(0, 1, (b, t, h, d)), dtype)
     v = jnp.asarray(rng.normal(0, 1, (b, t, h, d)), dtype)
     want = np.asarray(_attention_reference(q, k, v), np.float32)
-    got = np.asarray(_pallas_forward(q, k, v, interpret=True), np.float32)
+    got = np.asarray(
+        _pallas_forward(q, k, v, interpret=True, variant=variant), np.float32)
     tol = 1e-5 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 

@@ -1,0 +1,137 @@
+"""Round-robin convergence artifact driver (VERDICT r2 item 3).
+
+Runs the REAL `cli.train` round-robin trainer (full-scale model, TPU) on
+learnable synthetic on-disk datasets for all four tasks, with a mid-run
+kill + `--resume-checkpoint latest` restart, then summarizes the per-task
+metric curves (detection mAP, face top-1, pose PCK/AP) and asserts they
+rose from the first epochs to the last.
+
+Matches: reference round-robin loop + per-task eval
+(/root/reference/training/round_robin_trainer.py:231-292,
+training/lightning/pose_estimation/module.py:578-628).
+
+Usage:
+  python tools/run_convergence.py [--epochs 24] [--kill-after 900]
+                                  [--out runs/r3_round_robin_convergence]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def train_cmd(args, data: pathlib.Path, out: pathlib.Path, resume: bool):
+    cmd = [
+        sys.executable, "-m", "prpe_tpu.cli.train",
+        "--epochs", str(args.epochs),
+        "--batch-size", str(args.batch_size),
+        "--learning-rate", "1e-3",
+        "--image-size", "640",
+        "--person-data-dir", str(data / "person"),
+        "--face-data-dir", str(data / "face"),
+        "--face-rec-data-dir", str(data / "faces"),
+        "--pose-data-dir", str(data / "pose"),
+        "--max-train-samples", str(args.samples),
+        "--max-val-samples", "64",
+        "--checkpoint-dir", str(out / "ckpt"),
+        "--log-dir", str(out),
+        "--component-dir", "/tmp/none",  # fresh init (no ported ckpts here)
+    ]
+    if resume:
+        cmd += ["--resume-checkpoint", "latest"]
+    return cmd
+
+
+def summarize(out: pathlib.Path) -> dict:
+    """first-3 vs last-3 epoch means for each task's headline metric."""
+    heads = {
+        "person_detection": ("val/mAP50", "up"),
+        "face_detection": ("val/mAP50", "up"),
+        "face_recognition": ("val/acc", "up"),
+        "pose_estimation": ("val/pck", "up"),
+    }
+    summary = {}
+    for task, (metric, direction) in heads.items():
+        path = out / f"{task}_history.csv"
+        if not path.exists():
+            summary[task] = {"error": f"missing {path.name}"}
+            continue
+        rows = list(csv.DictReader(path.open()))
+        cols = rows[0].keys()
+        # metric name fallbacks (hooks emit e.g. val/mAP50-95, val/AP too)
+        cands = [metric] + [c for c in cols if c.startswith("val/")]
+        col = next((c for c in cands if c in cols), None)
+        vals = [float(r[col]) for r in rows if r.get(col) not in (None, "")]
+        head = sum(vals[:3]) / max(len(vals[:3]), 1)
+        tail = sum(vals[-3:]) / max(len(vals[-3:]), 1)
+        summary[task] = {
+            "metric": col, "epochs": len(vals),
+            "first3_mean": round(head, 4), "last3_mean": round(tail, 4),
+            "improved": bool(tail > head) if direction == "up" else bool(tail < head),
+            "curve": [round(v, 4) for v in vals],
+        }
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--samples", type=int, default=256)
+    ap.add_argument("--data", default="/tmp/synth_mt_full")
+    ap.add_argument("--out", default=str(ROOT / "runs" / "r3_round_robin_convergence"))
+    ap.add_argument("--kill-after", type=int, default=900,
+                    help="seconds before the mid-run SIGKILL (resume probe)")
+    ap.add_argument("--summarize-only", action="store_true")
+    args = ap.parse_args()
+
+    data = pathlib.Path(args.data)
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    if not args.summarize_only:
+        if not (data / "pose" / "annotations").exists():
+            subprocess.run(
+                [sys.executable, str(ROOT / "tools" / "make_synthetic_multitask_data.py"),
+                 str(data), str(args.samples), "64"], check=True)
+
+        # phase 1: run until the kill (simulated crash mid-training)
+        print(f"[convergence] phase 1: training, SIGKILL at {args.kill_after}s",
+              flush=True)
+        p = subprocess.Popen(train_cmd(args, data, out, resume=False),
+                             cwd=ROOT, stdout=(out / "phase1.log").open("w"),
+                             stderr=subprocess.STDOUT)
+        try:
+            p.wait(timeout=args.kill_after)
+            print("[convergence] finished before the kill window", flush=True)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            print("[convergence] killed mid-run; resuming from latest", flush=True)
+            # phase 2: resume and run to completion
+            t0 = time.time()
+            subprocess.run(train_cmd(args, data, out, resume=True), cwd=ROOT,
+                           stdout=(out / "phase2_resume.log").open("w"),
+                           stderr=subprocess.STDOUT, check=True)
+            print(f"[convergence] resume phase done in {time.time()-t0:.0f}s",
+                  flush=True)
+
+    summary = summarize(out)
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "curve"}
+                      for k, v in summary.items()}, indent=2))
+    ok = all(v.get("improved") for v in summary.values())
+    print(f"[convergence] all tasks improved: {ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
