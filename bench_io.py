@@ -110,11 +110,37 @@ def bench_cascade(args) -> dict:
     gallery = jax.random.normal(jax.random.key(2), (32, 512))
     gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True)
 
-    # compile warmup on one disk batch (uint8 pixels end-to-end)
     idx = np.arange(len(ds))
+
+    # ---- leg rates, measured in the order the axon relay allows:
+    # host->device bandwidth collapses ~40x after the first large-program
+    # execution on the loopback relay (README "Fed-from-disk" section;
+    # /tmp experiments r3), so the put rate must be taken BEFORE the
+    # compile-warmup execution to reflect the pipeline itself.
     warm = next(iter(ds.batches(idx, args.batch)))
-    out = runner(variables, jax.device_put(warm["image"]), gallery)
+    img = warm["image"].copy()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(img))
+    put_mb_s = 3 * img.nbytes / (time.perf_counter() - t0) / 1e6
+
+    t0 = time.perf_counter()
+    n = 0
+    for _ in ds.batches(idx, args.batch):
+        n += args.batch
+    gather_img_s = n / (time.perf_counter() - t0)
+
+    # compile warmup on one disk batch (uint8 pixels end-to-end)
+    xwarm = jax.device_put(img)
+    out = runner(variables, xwarm, gallery)
     jax.block_until_ready(out)
+
+    # device-resident execution rate (same program, no host in the loop)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = runner(variables, xwarm, gallery)
+    jax.block_until_ready(out)
+    exec_img_s = 4 * args.batch / (time.perf_counter() - t0)
 
     def epoch_stream():
         return prefetch_to_device(
@@ -136,7 +162,11 @@ def bench_cascade(args) -> dict:
         "metric": "cascade_640_from_disk",
         "value": round(n_img / dt, 2),
         "unit": "images/sec",
-        "device_resident": 1198.0,  # BENCH_r02 headline (README perf table)
+        "legs": {
+            "host_gather_img_s": round(gather_img_s, 1),
+            "device_put_pre_exec_mb_s": round(put_mb_s, 1),
+            "device_exec_img_s": round(exec_img_s, 1),
+        },
         "images_on_disk": len(ds),
         "batch": args.batch,
     }
@@ -185,6 +215,13 @@ def bench_train(args) -> dict:
 
     idx = np.arange(len(ds))
     warm = next(iter(ds.batches(idx, args.batch)))
+    # put bandwidth before the first large-program execution (see
+    # bench_cascade: the relay's h2 link degrades after it)
+    blob = warm["image"].copy()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(blob))
+    put_mb_s = 3 * blob.nbytes / (time.perf_counter() - t0) / 1e6
     state, metrics = step(state, jax.device_put(warm), jax.random.key(0))
     jax.block_until_ready(metrics)
 
@@ -201,7 +238,7 @@ def bench_train(args) -> dict:
         "metric": "detection_train_from_disk",
         "value": round(n_img / dt, 2),
         "unit": "images/sec",
-        "device_resident": 238.0,  # README round-2 train table
+        "legs": {"device_put_pre_exec_mb_s": round(put_mb_s, 1)},
         "images_on_disk": len(ds),
         "batch": args.batch,
     }

@@ -141,6 +141,25 @@ def test_packed_roundtrip(tmp_path):
     assert batch["label"].tolist() == [0, 1, 2, 3]
 
 
+def test_packed_gather_pool_contract(tmp_path):
+    """gather() returns pooled buffers: values match __getitem__, the
+    previous batch stays intact while the next is produced (two-buffer
+    rotation), and the third call reuses the first call's storage."""
+    src = ArithmeticDataset(n=12)
+    packed = pack_dataset(src, tmp_path / "p", image_norm=None)
+    b1 = packed.gather(np.arange(0, 4))
+    b1_label_buf = b1["label"]
+    for row, i in enumerate(range(0, 4)):
+        np.testing.assert_allclose(b1["image"][row], src[i]["image"])
+    b2 = packed.gather(np.arange(4, 8))
+    # b1 is still valid after producing b2
+    np.testing.assert_array_equal(b1["label"], np.arange(0, 4))
+    np.testing.assert_array_equal(b2["label"], np.arange(4, 8))
+    b3 = packed.gather(np.arange(8, 12))
+    assert b3["label"] is b1_label_buf  # documented pool-of-two reuse
+    np.testing.assert_array_equal(b3["label"], np.arange(8, 12))
+
+
 @pytest.mark.parametrize("norm", ["unit", "half", "imagenet"])
 def test_apply_image_norm_inverts_quantize(norm):
     import jax.numpy as jnp
