@@ -85,6 +85,34 @@ def test_cascade_sharded_matches_single_device(cascade):
                                   np.asarray(sharded.pose_valid))
 
 
+def test_cascade_uint8_input_matches_f32(cascade):
+    """Packed uint8 pixels (data/packed.py disk format) through the cascade
+    match host-normalized f32 input: /255 fuses into the on-device cast
+    (infer/cascade.py uint8 branch), so the only difference is one ulp of
+    x*(1/255) vs x/255."""
+    model, variables = cascade
+    cfg = CascadeConfig(max_persons=4, max_faces=4, match_threshold=0.3)
+    runner = build_cascade_runner(model, cfg, pose_capacity=3)
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    gallery = jax.random.normal(jax.random.key(5), (2, 512))
+    gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True)
+
+    a = runner(variables, jnp.asarray(u8), gallery)
+    b = runner(variables, jnp.asarray(u8.astype(np.float32) / 255.0), gallery)
+
+    np.testing.assert_array_equal(np.asarray(a.persons.valid),
+                                  np.asarray(b.persons.valid))
+    np.testing.assert_array_equal(np.asarray(a.person_gated),
+                                  np.asarray(b.person_gated))
+    np.testing.assert_array_equal(np.asarray(a.face_identity),
+                                  np.asarray(b.face_identity))
+    np.testing.assert_allclose(np.asarray(a.persons.boxes),
+                               np.asarray(b.persons.boxes), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.pose_keypoints),
+                               np.asarray(b.pose_keypoints), atol=1e-3)
+
+
 def test_cascade_pose_flip_test(cascade):
     """Flip-test averaging runs and differs from the single-pass result on
     random (asymmetric) weights. conf_threshold=0 makes detections

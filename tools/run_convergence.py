@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--kill-after", type=int, default=900,
                     help="seconds before the mid-run SIGKILL (resume probe)")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--resume-only", action="store_true",
+                    help="skip phase 1 (already ran); go straight to the "
+                         "resume phase against the existing checkpoints")
     args = ap.parse_args()
 
     data = pathlib.Path(args.data)
@@ -103,26 +106,47 @@ def main():
                 [sys.executable, str(ROOT / "tools" / "make_synthetic_multitask_data.py"),
                  str(data), str(args.samples), "64"], check=True)
 
-        # phase 1: run until the kill (simulated crash mid-training)
-        print(f"[convergence] phase 1: training, SIGKILL at {args.kill_after}s",
-              flush=True)
-        p = subprocess.Popen(train_cmd(args, data, out, resume=False),
-                             cwd=ROOT, stdout=(out / "phase1.log").open("w"),
-                             stderr=subprocess.STDOUT)
-        try:
-            p.wait(timeout=args.kill_after)
-            print("[convergence] finished before the kill window", flush=True)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            p.wait()
-            print("[convergence] killed mid-run; resuming from latest", flush=True)
-            # phase 2: resume and run to completion
+        def resume_to_completion():
+            # the SIGKILL can leave the single-client TPU relay mid-RPC;
+            # resume is idempotent (restarts from the latest checkpoint),
+            # so retry transient relay failures with a grace period.
             t0 = time.time()
-            subprocess.run(train_cmd(args, data, out, resume=True), cwd=ROOT,
-                           stdout=(out / "phase2_resume.log").open("w"),
-                           stderr=subprocess.STDOUT, check=True)
-            print(f"[convergence] resume phase done in {time.time()-t0:.0f}s",
+            for attempt in range(3):
+                time.sleep(30)
+                log = out / f"phase2_resume{'' if attempt == 0 else attempt}.log"
+                r = subprocess.run(train_cmd(args, data, out, resume=True),
+                                   cwd=ROOT, stdout=log.open("w"),
+                                   stderr=subprocess.STDOUT)
+                if r.returncode == 0:
+                    print(f"[convergence] resume phase done in "
+                          f"{time.time()-t0:.0f}s", flush=True)
+                    return
+                print(f"[convergence] resume attempt {attempt} failed "
+                      f"(rc={r.returncode}, see {log.name}); retrying",
+                      flush=True)
+            raise RuntimeError("resume phase failed 3 times")
+
+        if args.resume_only:
+            print("[convergence] --resume-only: continuing from latest",
                   flush=True)
+            resume_to_completion()
+        else:
+            # phase 1: run until the kill (simulated crash mid-training)
+            print(f"[convergence] phase 1: training, SIGKILL at "
+                  f"{args.kill_after}s", flush=True)
+            p = subprocess.Popen(train_cmd(args, data, out, resume=False),
+                                 cwd=ROOT, stdout=(out / "phase1.log").open("w"),
+                                 stderr=subprocess.STDOUT)
+            try:
+                p.wait(timeout=args.kill_after)
+                print("[convergence] finished before the kill window",
+                      flush=True)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+                print("[convergence] killed mid-run; resuming from latest",
+                      flush=True)
+                resume_to_completion()
 
     summary = summarize(out)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
