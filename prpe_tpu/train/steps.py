@@ -177,8 +177,18 @@ def make_loss_fn(model, task: str, cfg: CombinedModelConfig) -> Callable:
                 total = total + ol
                 metrics["oks_loss"] = ol
             metrics["loss"] = total
+            # reference-parity PCK: the reference thresholds NORMALIZED
+            # coordinate distances against 0.2*sqrt(area) in PIXELS
+            # (pose_estimation/module.py:433-440), so it saturates at 1.0
+            # for any prediction — reproduced for log parity. pck_px is the
+            # intended metric with both sides in letterboxed pixels.
             metrics["pck"] = L.pck_accuracy(
                 pred_coords, coords[:, 0], vis[:, 0], batch["areas"][:, 0]
+            )
+            img_size = jnp.asarray(batch["image"].shape[1], jnp.float32)
+            metrics["pck_px"] = L.pck_accuracy(
+                pred_coords * img_size, coords[:, 0] * img_size,
+                vis[:, 0], batch["areas"][:, 0],
             )
             return total, (mut["batch_stats"], metrics)
 

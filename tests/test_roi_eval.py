@@ -114,6 +114,36 @@ def test_keypoint_eval_perfect():
     assert m["AP50"] > 0.99 and m["AP75"] > 0.99
 
 
+def test_pose_eval_hook_perfect_predictions():
+    """End-to-end hook check: eval-step outputs that equal the ground truth
+    (normalized letterbox-frame coords) must come back as kpt_AP ~ 1 — pins
+    the coordinate un-mapping in prpe_tpu/eval/pose_hook.py."""
+    from prpe_tpu.eval.pose_hook import pose_eval_hook
+
+    rng = np.random.default_rng(0)
+    K, B = 17, 3
+    coords = rng.uniform(0.2, 0.8, (B, K, 2)).astype(np.float32)
+    scores = np.full((B, K), 0.9, np.float32)
+    kpts = np.concatenate(
+        [coords[:, None], np.full((B, 1, K, 1), 2.0, np.float32)], axis=-1)
+    batch = {
+        "image_id": np.arange(B),
+        "scale": np.full(B, 0.5, np.float32),        # letterbox downscale
+        "pad": np.tile(np.array([[16.0, 0.0]], np.float32), (B, 1)),
+        "boxes": np.tile(np.array([[[64, 64, 576, 576]]], np.float32),
+                         (B, 1, 1)),
+        "keypoints": kpts,
+        "areas": np.full((B, 1), 512.0 * 512.0, np.float32),
+        "mask": np.ones((B, 1), bool),
+    }
+    m = pose_eval_hook(640)([((coords, scores), batch)])
+    assert m["kpt_AP"] > 0.99 and m["kpt_AP50"] > 0.99
+
+    # and shifted predictions must NOT score
+    bad = pose_eval_hook(640)([((coords + 0.4, scores), batch)])
+    assert bad["kpt_AP"] < 0.05
+
+
 def test_keypoint_eval_bad_predictions():
     rng = np.random.default_rng(0)
     anns, preds = [], []

@@ -53,29 +53,48 @@ def train_cmd(args, data: pathlib.Path, out: pathlib.Path, resume: bool):
 def summarize(out: pathlib.Path) -> dict:
     """first-3 vs last-3 epoch means for each task's headline metric."""
     heads = {
-        "person_detection": ("val/mAP50", "up"),
-        "face_detection": ("val/mAP50", "up"),
-        "face_recognition": ("val/acc", "up"),
-        "pose_estimation": ("val/pck", "up"),
+        "person_detection": ["val/mAP50", "val/mAP50-95"],
+        "face_detection": ["val/mAP50", "val/mAP50-95"],
+        "face_recognition": ["val/acc"],
+        # NOT val/pck: the reference's PCK thresholds normalized-coordinate
+        # distances against 0.2*sqrt(area) in pixels (units bug, reproduced
+        # for parity — see train/steps.py pose metrics), so it saturates at
+        # 1.0 for any prediction. val/pck_px is the corrected-units PCK;
+        # COCO OKS AP is the strictest pose metric here.
+        "pose_estimation": ["val/kpt_AP", "val/kpt_AP50", "val/pck_px"],
     }
     summary = {}
-    for task, (metric, direction) in heads.items():
+    for task, prefs in heads.items():
         path = out / f"{task}_history.csv"
         if not path.exists():
             summary[task] = {"error": f"missing {path.name}"}
             continue
         rows = list(csv.DictReader(path.open()))
-        cols = rows[0].keys()
-        # metric name fallbacks (hooks emit e.g. val/mAP50-95, val/AP too)
-        cands = [metric] + [c for c in cols if c.startswith("val/")]
-        col = next((c for c in cands if c in cols), None)
-        vals = [float(r[col]) for r in rows if r.get(col) not in (None, "")]
+        cols = list(rows[0].keys())
+
+        def curve(col):
+            return [float(r[col]) for r in rows if r.get(col) not in (None, "")]
+
+        # preferred headline metric, skipping degenerate (constant) curves,
+        # then any non-constant val/ metric
+        col = next(
+            (c for c in prefs + [c for c in cols if c.startswith("val/")]
+             if c in cols and len(set(curve(c))) > 1),
+            None,
+        )
+        if col is None:
+            summary[task] = {"error": "no non-constant val metric"}
+            continue
+        vals = curve(col)
         head = sum(vals[:3]) / max(len(vals[:3]), 1)
         tail = sum(vals[-3:]) / max(len(vals[-3:]), 1)
+        loss = curve("val/loss") if "val/loss" in cols else []
         summary[task] = {
             "metric": col, "epochs": len(vals),
             "first3_mean": round(head, 4), "last3_mean": round(tail, 4),
-            "improved": bool(tail > head) if direction == "up" else bool(tail < head),
+            "improved": bool(tail > head),
+            "val_loss_first3": round(sum(loss[:3]) / 3, 4) if len(loss) >= 3 else None,
+            "val_loss_last3": round(sum(loss[-3:]) / 3, 4) if len(loss) >= 3 else None,
             "curve": [round(v, 4) for v in vals],
         }
     return summary
