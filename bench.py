@@ -65,6 +65,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from prpe_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from prpe_tpu.core.config import CascadeConfig, DetectionConfig, PoseConfig
     from prpe_tpu.infer.cascade import CascadeModel, build_cascade_runner
 

@@ -86,6 +86,10 @@ def bench_cascade(args) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from prpe_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from prpe_tpu.core.config import CascadeConfig, DetectionConfig, PoseConfig
     from prpe_tpu.data.packed import PackedDataset
     from prpe_tpu.data.pipeline import prefetch_to_device
@@ -175,6 +179,10 @@ def bench_cascade(args) -> dict:
 def bench_train(args) -> dict:
     import jax
     import jax.numpy as jnp
+
+    from prpe_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from prpe_tpu.core.config import CombinedModelConfig, OptimConfig
     from prpe_tpu.data.packed import PackedDataset, pack_dataset

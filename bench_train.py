@@ -29,6 +29,10 @@ TASKS = ("person_detection", "face_detection", "face_recognition",
 def main(batch=32, size=640, iters=5):
     import jax
     import jax.numpy as jnp
+
+    from prpe_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     import numpy as np
 
     from prpe_tpu.core.config import CombinedModelConfig, OptimConfig

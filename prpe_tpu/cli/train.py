@@ -163,6 +163,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from prpe_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from prpe_tpu.cli.build_model import build_variables
     from prpe_tpu.core.config import (
         CombinedModelConfig, MeshConfig, OptimConfig, PoseConfig, TaskConfig,

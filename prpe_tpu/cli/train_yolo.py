@@ -57,6 +57,7 @@ def main(argv=None):
     from prpe_tpu.core.config import DetectionConfig, OptimConfig
     from prpe_tpu.data import pipeline, synthetic
     from prpe_tpu.data.detection import YoloMosaicDataset, YoloTxtDataset
+    from prpe_tpu.data.packed import apply_image_norm
     from prpe_tpu.eval.map import detection_eval_hook
     from prpe_tpu.nn.yolo import YOLO, decode_predictions
     from prpe_tpu.ops import losses as L
@@ -117,9 +118,12 @@ def main(argv=None):
     # ---- jitted steps ---------------------------------------------------- #
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_step(params, batch_stats, opt_state, ema_params, updates_count, batch):
+        # loaders ship raw uint8; /255 fuses into the first conv on-device
+        image = apply_image_norm(batch["image"], "unit")
+
         def loss_fn(p):
             outs, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats}, batch["image"], True,
+                {"params": p, "batch_stats": batch_stats}, image, True,
                 mutable=["batch_stats"],
             )
             dl = L.yolo_detection_loss(
@@ -141,7 +145,8 @@ def main(argv=None):
     @jax.jit
     def eval_step(eval_params, batch_stats, batch):
         outs = model.apply(
-            {"params": eval_params, "batch_stats": batch_stats}, batch["image"], False
+            {"params": eval_params, "batch_stats": batch_stats},
+            apply_image_norm(batch["image"], "unit"), False,
         )
         decoded = decode_predictions(outs, args.num_classes)
         return nms_ops.non_max_suppression(

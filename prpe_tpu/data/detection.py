@@ -24,8 +24,6 @@ import numpy as np
 from prpe_tpu import native
 from prpe_tpu.data.image import load_image
 
-_ZERO = np.zeros(3, np.float32)
-_ONE = np.ones(3, np.float32)
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
@@ -89,7 +87,7 @@ class YoloTxtDataset:
         """(uint8 HWC image, (N, 5) normalized labels) — for mosaic/mixup."""
         return load_image(self.files[idx]), self._load_labels(idx)
 
-    def pack(self, img_f32: np.ndarray, labels: np.ndarray) -> Dict[str, np.ndarray]:
+    def pack(self, img: np.ndarray, labels: np.ndarray) -> Dict[str, np.ndarray]:
         gt_labels = np.zeros((self.max_gt,), np.int32)
         gt_boxes = np.zeros((self.max_gt, 4), np.float32)
         gt_mask = np.zeros((self.max_gt,), bool)
@@ -98,15 +96,16 @@ class YoloTxtDataset:
             gt_labels[:n] = labels[:n, 0].astype(np.int32)
             gt_boxes[:n] = labels[:n, 1:5]
             gt_mask[:n] = True
-        return {"image": img_f32, "gt_labels": gt_labels,
+        return {"image": img, "gt_labels": gt_labels,
                 "gt_boxes": gt_boxes, "gt_mask": gt_mask}
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         raw = load_image(self.files[idx])
-        # fused native resize + /255 (reference: datamodule.py:93-100)
-        img = native.resize_normalize(
-            raw, self.image_size, self.image_size, _ZERO, _ONE
-        )
+        # raw uint8 resize; the /255 the reference applies on host
+        # (datamodule.py:93-100) happens on-device (apply_image_norm "unit",
+        # fused into the first conv) so batches cross the host->device link
+        # at 1 byte/px
+        img = native.resize_bilinear_u8(raw, self.image_size, self.image_size)
         labels = self._load_labels(idx).copy()
 
         if self.augment and self._rng.random() < 0.5:
@@ -191,4 +190,5 @@ class YoloMosaicDataset:
                 labels = labels.copy()
                 labels[:, 1] = 1.0 - labels[:, 1]
         labels = sanitize_boxes(labels.reshape(-1, 5))
-        return self.base.pack(img.astype(np.float32) / 255.0, labels)
+        # raw uint8 out; /255 happens on-device (apply_image_norm "unit")
+        return self.base.pack(img, labels)

@@ -20,7 +20,6 @@ import numpy as np
 from prpe_tpu import native
 from prpe_tpu.data.image import load_image
 
-_HALF = np.full(3, 0.5, np.float32)
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
@@ -68,9 +67,11 @@ class IdentityFolderDataset:
         img = load_image(path)
         if self.augment and self._rng.random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
-        # fused native resize + mean/std 0.5 + BGR swap
-        # (reference: face_recognition/datamodule.py:103-104)
-        x = native.resize_normalize(
-            img, self.image_size, self.image_size, _HALF, _HALF, bgr=self.bgr
-        )
+        # raw uint8 resize + BGR swap on host (reference BGR quirk:
+        # face_recognition/datamodule.py:103-104); the mean/std-0.5
+        # normalization happens on-device (apply_image_norm "half") so
+        # batches ship at 1 byte/px
+        x = native.resize_bilinear_u8(img, self.image_size, self.image_size)
+        if self.bgr:
+            x = np.ascontiguousarray(x[..., ::-1])
         return {"image": x, "label": np.int32(label)}

@@ -40,7 +40,10 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def _quantize_image(a: np.ndarray, norm: str) -> np.ndarray:
     """f32 normalized image -> uint8 raw pixels (inverse of the normalize
-    the dataset applied; recorded in meta so the device re-applies it)."""
+    the dataset applied; recorded in meta so the device re-applies it).
+    Already-uint8 images (the loaders' native output) pass through."""
+    if a.dtype == np.uint8:
+        return a
     if norm == "unit":  # x/255
         return np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
     if norm == "half":  # (x/255 - .5)/.5

@@ -27,7 +27,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from prpe_tpu import native
-from prpe_tpu.data.image import IMAGENET_MEAN, IMAGENET_STD, load_image
+from prpe_tpu.data.image import load_image
 
 NUM_KEYPOINTS = 17
 
@@ -84,11 +84,11 @@ class CocoKeypointDataset:
         img_path = self.image_dir / info["file_name"]
         img = load_image(img_path)
         h0, w0 = img.shape[:2]
-        # fused native letterbox + ImageNet normalize
-        # (reference: pose_estimation/datamodule.py:125-145)
-        x, scale, (top, left) = native.letterbox_normalize(
-            img, self.image_size, IMAGENET_MEAN, IMAGENET_STD
-        )
+        # raw uint8 letterbox (reference geometry:
+        # pose_estimation/datamodule.py:125-145); the ImageNet normalize
+        # happens on-device (apply_image_norm "imagenet") so batches ship
+        # at 1 byte/px
+        x, scale, (top, left) = native.letterbox_u8(img, self.image_size)
 
         n_max = self.max_instances
         kpts = np.zeros((n_max, NUM_KEYPOINTS, 3), np.float32)

@@ -252,3 +252,22 @@ def letterbox_normalize(
     t, l = (size - nh) // 2, (size - nw) // 2
     out[t : t + nh, l : l + nw] = resized
     return out, scale, (t, l)
+
+
+def letterbox_u8(src: np.ndarray, size: int) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """uint8 HWC -> (size, size) letterboxed RAW uint8 pixels, zero padding.
+
+    Same geometry as ``letterbox_normalize`` (scale = size/max(h,w),
+    centered); normalization is deferred to the device
+    (data/packed.py::apply_image_norm) so batches cross the host->device
+    link at 1 byte/px instead of 4 — the training analogue of the packed
+    serving format."""
+    src = np.ascontiguousarray(src)
+    sh, sw = src.shape[:2]
+    scale = size / max(sh, sw)
+    nh, nw = int(round(sh * scale)), int(round(sw * scale))
+    resized = resize_bilinear_u8(src, nh, nw)
+    out = np.zeros((size, size, src.shape[2]), np.uint8)
+    t, l = (size - nh) // 2, (size - nw) // 2
+    out[t : t + nh, l : l + nw] = resized
+    return out, scale, (t, l)

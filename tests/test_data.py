@@ -60,7 +60,9 @@ def test_identity_folder_dataset(tmp_path):
     assert len(train) + len(val) == 20 and len(val) == 2
     s = train[0]
     assert s["image"].shape == (112, 112, 3)
-    assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
+    # raw uint8 pixels; mean/std-0.5 normalization is applied on-device
+    # (apply_image_norm "half")
+    assert s["image"].dtype == np.uint8
 
 
 def test_coco_keypoint_dataset(tmp_path):

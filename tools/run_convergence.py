@@ -133,7 +133,11 @@ def main():
             for attempt in range(3):
                 time.sleep(30)
                 log = out / f"phase2_resume{'' if attempt == 0 else attempt}.log"
-                r = subprocess.run(train_cmd(args, data, out, resume=True),
+                # the kill can land before the first checkpoint ever hits
+                # disk — restart from scratch in that case (resume=True
+                # would FileNotFoundError forever)
+                has_ckpt = any((out / "ckpt").glob("*"))
+                r = subprocess.run(train_cmd(args, data, out, resume=has_ckpt),
                                    cwd=ROOT, stdout=log.open("w"),
                                    stderr=subprocess.STDOUT)
                 if r.returncode == 0:
