@@ -102,12 +102,54 @@ class CheckpointManager:
         return better
 
     # ----------------------------------------------------------------- #
+    def _committed_dirs(self, pattern: str):
+        """Checkpoint dirs on disk that finished committing — orbax stages
+        saves in ``<name>.orbax-checkpoint-tmp-*`` and renames on commit, so
+        anything matching ``*tmp*`` is a torn write and must be skipped."""
+        return sorted(
+            p for p in self.dir.glob(pattern)
+            if p.is_dir() and "tmp" not in p.name
+        )
+
     def latest(self) -> Optional[Tuple[str, Dict[str, Any]]]:
+        """Newest checkpoint: meta.json's list, falling back to a disk scan.
+
+        The fallback covers the kill-during-first-save failure mode observed
+        in round 3 (runs/r3_round_robin_convergence/phase2_resume*.log): a
+        SIGKILL between ``update_best``'s commit and the first ``save``'s
+        meta write leaves ``best_<task>`` on disk plus a ``*-tmp`` staging
+        dir, while ``meta["checkpoints"]`` is still empty — resume must use
+        what's really on disk, newest ``epoch*`` first, then ``best_*``,
+        never ``*tmp*``."""
         meta = self._meta()
-        if not meta["checkpoints"]:
-            return None
-        entry = meta["checkpoints"][-1]
-        return str(self.dir / entry["name"]), entry
+        if meta["checkpoints"]:
+            entry = meta["checkpoints"][-1]
+            # a torn meta write (listed but deleted dir) falls through to disk
+            if (self.dir / entry["name"]).is_dir():
+                return str(self.dir / entry["name"]), entry
+        epochs = self._committed_dirs("epoch*")
+        if epochs:
+            p = epochs[-1]  # names are epoch%04d_<task> — sort == recency
+            stem = p.name[len("epoch"):]
+            num, _, task = stem.partition("_")
+            entry = {"name": p.name, "epoch": int(num), "last_task": task}
+            return str(p), entry
+        bests = self._committed_dirs("best_*")
+        if bests:
+            by_name = {b["name"]: dict(b, last_task=t)
+                       for t, b in meta["best"].items()}
+            ranked = sorted(
+                bests, key=lambda p: by_name.get(p.name, {}).get("epoch", -1)
+            )
+            p = ranked[-1]
+            return str(p), by_name.get(p.name, {"name": p.name})
+        return None
+
+    def has_restorable(self) -> bool:
+        """True iff ``restore(target)`` with no path can succeed — the
+        decision drivers must use for ``--resume-checkpoint latest`` (a bare
+        glob also sees ``*-tmp`` staging dirs and retries a doomed resume)."""
+        return self.latest() is not None
 
     def restore(self, target: TrainState, path: Optional[str] = None) -> Tuple[TrainState, Dict[str, Any]]:
         """Restore into the structure of ``target`` (an abstract or concrete

@@ -135,8 +135,11 @@ def main():
                 log = out / f"phase2_resume{'' if attempt == 0 else attempt}.log"
                 # the kill can land before the first checkpoint ever hits
                 # disk — restart from scratch in that case (resume=True
-                # would FileNotFoundError forever)
-                has_ckpt = any((out / "ckpt").glob("*"))
+                # would FileNotFoundError forever). Decide exactly the way
+                # restore() does (a bare glob also matches orbax *-tmp
+                # staging dirs — the round-3 3x-crash failure mode).
+                from prpe_tpu.train.checkpoint import CheckpointManager
+                has_ckpt = CheckpointManager(str(out / "ckpt")).has_restorable()
                 r = subprocess.run(train_cmd(args, data, out, resume=has_ckpt),
                                    cwd=ROOT, stdout=log.open("w"),
                                    stderr=subprocess.STDOUT)
