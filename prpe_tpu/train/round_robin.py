@@ -31,7 +31,10 @@ from prpe_tpu.train.checkpoint import CheckpointManager
 from prpe_tpu.train.metrics import MetricsLogger, MetricTracker, WandbSink, setup_logging
 from prpe_tpu.train.optim import build_optimizer
 from prpe_tpu.train.state import TrainState, create_train_state
-from prpe_tpu.train.steps import make_eval_step, make_train_step, mask_optimizer
+from prpe_tpu.train.steps import (
+    DETECTION_TASKS, make_eval_step, make_shared_detection_eval_step,
+    make_shared_detection_train_step, make_train_step, mask_optimizer,
+)
 
 
 @dataclass
@@ -90,18 +93,39 @@ class RoundRobinTrainer:
             variables, self.optimizers,
             use_ema=any(t.optim.use_ema for t in tasks),
         )
+        # person/face detection are identical programs (same DetectionConfig
+        # branches, models/combined.py) — when their optimizer + trainable
+        # configs also match, the second task reuses the first's compiled
+        # step via branch re-keying instead of paying its own multi-minute
+        # SPMD compile (train/steps.py::make_shared_detection_train_step)
+        det_cfgs = {t.name: t for t in tasks if t.name in DETECTION_TASKS}
+        share_detection = (
+            len(det_cfgs) == 2
+            and len({(t.optim, t.trainable) for t in det_cfgs.values()}) == 1
+        )
         self.tasks: Dict[str, TaskRuntime] = {}
         for t in tasks:
             loaders = task_loaders[t.name]
-            self.tasks[t.name] = TaskRuntime(
-                config=t,
-                train_step=make_train_step(
+            sibling = next(
+                (self.tasks[n] for n in DETECTION_TASKS
+                 if n != t.name and n in self.tasks),
+                None,
+            ) if share_detection and t.name in DETECTION_TASKS else None
+            if sibling is not None:
+                train_step = make_shared_detection_train_step(sibling.train_step)
+                eval_step = make_shared_detection_eval_step(sibling.eval_step)
+            else:
+                train_step = make_train_step(
                     model, t.name, self.optimizers[t.name], model_cfg,
                     use_ema=t.optim.use_ema,
                     ema_decay=t.optim.ema_decay, ema_tau=t.optim.ema_tau,
                     trainable=t.trainable,
-                ),
-                eval_step=make_eval_step(model, t.name, model_cfg),
+                )
+                eval_step = make_eval_step(model, t.name, model_cfg)
+            self.tasks[t.name] = TaskRuntime(
+                config=t,
+                train_step=train_step,
+                eval_step=eval_step,
                 train_loader=loaders["train"],
                 val_loader=loaders.get("val"),
                 eval_hook=loaders.get("eval_hook"),

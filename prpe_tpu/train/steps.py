@@ -277,6 +277,86 @@ def make_train_step(
     return step
 
 
+# ---------------------------------------------------------------------- #
+# Shared detection program: person_detection and face_detection are
+# architecturally identical by construction (models/combined.py builds both
+# branches from the same DetectionConfig — reference parity, both are
+# yolo11n nc=1 surgeries of the SAME yolo11n.pt, modify_models.py:183-205).
+# Their train/eval steps therefore compile to the same XLA program modulo
+# which param subtrees they read; re-keying person<->face subtrees lets ONE
+# compiled program serve both tasks. Under an SPMD mesh each detection
+# train-step compile is minutes on a small host (VERDICT r3: 300s), so the
+# round-robin trainer and the multichip dryrun both share it.
+
+_DETECTION_SWAP = {
+    "yolo_person": "yolo_face",
+    "yolo_face": "yolo_person",
+    "yolo_person_adapter": "yolo_face_adapter",
+    "yolo_face_adapter": "yolo_person_adapter",
+}
+
+
+def swap_detection_branches(tree):
+    """Re-key the detection-branch subtrees person<->face anywhere they
+    appear in a params-shaped container (params, batch_stats, optax states,
+    EMA trees). An involution: applying it twice is the identity. Containers
+    are rebuilt host-side only — no device traffic."""
+    if isinstance(tree, dict):
+        has_pair = set(_DETECTION_SWAP) <= set(tree)
+        return {
+            (_DETECTION_SWAP[k] if has_pair and k in _DETECTION_SWAP else k):
+                swap_detection_branches(v)
+            for k, v in tree.items()
+        }
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # optax states
+        return type(tree)(*(swap_detection_branches(v) for v in tree))
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(swap_detection_branches(v) for v in tree)
+    return tree
+
+
+def _swap_detection_state(state: TrainState) -> TrainState:
+    """Swap a TrainState's detection branches AND the two detection tasks'
+    optimizer-state slots, so the sibling task's program sees exactly the
+    structure it was compiled for. Involution."""
+    opt = {k: swap_detection_branches(v) for k, v in state.opt_states.items()}
+    if "person_detection" in opt and "face_detection" in opt:
+        opt["person_detection"], opt["face_detection"] = (
+            opt["face_detection"], opt["person_detection"])
+    return state.replace(
+        params=swap_detection_branches(state.params),
+        batch_stats=swap_detection_branches(state.batch_stats),
+        opt_states=opt,
+        ema_params=(None if state.ema_params is None
+                    else swap_detection_branches(state.ema_params)),
+    )
+
+
+def make_shared_detection_train_step(sibling_step: Callable) -> Callable:
+    """Train step for one detection task that REUSES the other detection
+    task's already-jitted step (zero extra compiles). Correct only when the
+    two tasks use the same optimizer config and trainable scope — callers
+    must check (round_robin.py does)."""
+
+    def step(state: TrainState, batch, rng):
+        new_state, metrics = sibling_step(_swap_detection_state(state), batch, rng)
+        return _swap_detection_state(new_state), metrics
+
+    return step
+
+
+def make_shared_detection_eval_step(sibling_eval_step: Callable) -> Callable:
+    """Eval-step analogue of :func:`make_shared_detection_train_step`."""
+
+    def step(variables, batch):
+        return sibling_eval_step(
+            {k: swap_detection_branches(v) for k, v in variables.items()},
+            batch,
+        )
+
+    return step
+
+
 def make_eval_step(model, task: str, cfg: CombinedModelConfig) -> Callable:
     """Jitted eval step -> metrics dict (+ fixed-shape predictions where the
     task has a host-side evaluation stage)."""

@@ -196,10 +196,5 @@ def test_trainer_put_batch_shards_leading_axis():
     assert RoundRobinTrainer._put_batch(SimpleNamespace(mesh=None), b) is b
 
 
-@pytest.mark.slow
-def test_dryrun_multichip_full():
-    """The driver's multi-chip validation: full train steps for all four
-    tasks on a (4 data x 2 model) mesh."""
-    import __graft_entry__ as ge
-
-    ge.dryrun_multichip(8)
+# the full 4-task dryrun now runs (with a wall-clock budget assertion) in
+# tests/test_budget.py::test_dryrun_multichip_fits_driver_budget
