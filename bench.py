@@ -1,7 +1,10 @@
 """Benchmark harness: face-gated pose cascade throughput on one TPU chip.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+All diagnostics go to stderr — one progress line per phase (probe / imports /
+init / compile / measuring) with cumulative elapsed, so a driver-side timeout
+tail is diagnosable (VERDICT r3: BENCH_r03 timed out with an empty tail).
 
 The measured config is the BASELINE.json headline: detect persons + faces at
 640^2 (YOLOv11-n x2), IR-50 embeddings on 112^2 face crops, cosine identity
@@ -18,25 +21,39 @@ tools/bench_reference_torch.py and recorded in BASELINE.md. The ratio is
 therefore chip-vs-host-CPU, NOT chip-vs-GPU; for the same-hardware
 framework comparison, the prpe XLA-CPU cascade on the identical host
 measures 0.871 img/s vs torch's 0.687 (1.27x) — see BASELINE.md.
+
+Deadline behavior: ``PRPE_BENCH_DEADLINE_S`` (default 480) is a soft wall-
+clock budget measured from process start. The measuring loop runs in chunks
+and emits the JSON from however many iterations completed when the deadline
+passes, so a slow compile degrades the sample count instead of producing no
+artifact at all.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 # measured: tools/bench_reference_torch.py on this host (1 CPU core), 2026-08
 # per-image ms — yolo11n_640: 341.03 x2, ir50_112: 323.78, vitpose_b: 449.94
 REFERENCE_CASCADE_IMG_PER_SEC = 0.6869  # torch eager fp32 CPU composite
 
+_T0 = time.perf_counter()
 
-def _probe_backend(timeout_s: float = 600.0) -> bool:
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _probe_backend(timeout_s: float = 120.0) -> bool:
     """Fail fast if the TPU relay is wedged: jax.devices() through a dead
     relay blocks in C++ forever (uninterruptible by SIGTERM) — observed
     2026-08-17 when a SIGKILLed client left a stale terminal claim. Probe
     in a child process we can kill."""
     import subprocess
-    import sys
 
     try:
         r = subprocess.run(
@@ -48,19 +65,46 @@ def _probe_backend(timeout_s: float = 600.0) -> bool:
         return False
 
 
-def main():
-    import sys
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    dry_run = "--dry-run" in argv
+    deadline_s = float(os.environ.get("PRPE_BENCH_DEADLINE_S", "480"))
 
-    if not _probe_backend():
-        print("bench.py: JAX backend unreachable (TPU relay wedged?) — "
-              "refusing to hang", file=sys.stderr)
-        return 1
-    # The fused MHSA Pallas kernel (ops/pallas/attention_kernel.py) is NOT
-    # auto-enabled: measured on the live v5e chip 2026-08-18 it is SLOWER
-    # than XLA's einsum schedule at the ViTPose shape (seq 192, 12 heads:
-    # bf16 0.806 ms vs 0.472 ms, fp32 parity) — XLA already fuses the short
-    # sequence well. Kernel stays opt-in via PRPE_FUSED_ATTENTION=1 for
-    # long-sequence variants where the flash-style tiling pays off.
+    if dry_run:
+        # CPU-only smoke of the full code path (tiny geometry) — used by the
+        # budget test so a regression in the JSON-emit path is caught in the
+        # suite, not by a silent driver timeout (VERDICT r3 item 8).
+        # sitecustomize registers the axon TPU plugin at interpreter start
+        # whenever PALLAS_AXON_POOL_IPS is set (and jax binds JAX_PLATFORMS
+        # at import), so in-process env edits are too late — re-exec with a
+        # scrubbed environment, exactly like __graft_entry__.dryrun_multichip.
+        if "jax" in sys.modules or os.environ.get("PALLAS_AXON_POOL_IPS"):
+            if not os.environ.get("_PRPE_BENCH_CHILD"):
+                import subprocess
+
+                env = dict(os.environ)
+                env["JAX_PLATFORMS"] = "cpu"
+                env["_PRPE_BENCH_CHILD"] = "1"
+                env.pop("PALLAS_AXON_POOL_IPS", None)
+                env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+                env.pop("XLA_FLAGS", None)
+                return subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--dry-run"],
+                    env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).returncode
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    else:
+        _log("probing TPU backend...")
+        if not _probe_backend():
+            _log("JAX backend unreachable (TPU relay wedged?) — refusing to hang")
+            return 1
+        _log("backend reachable; importing")
+    # The fused MHSA Pallas kernel (ops/pallas/attention_kernel.py) in its
+    # PACKED (B,T,C) formulation is measured FASTER than XLA's einsum
+    # schedule at the ViTPose shape (33.3 vs 42.0 ms fwd @ b=128 bf16,
+    # tools/bench_attention.py) and is the default (PRPE_ATTN_MODE=
+    # pallas_packed, prpe_tpu/nn/vit.py); the older per-head layouts lost to
+    # their HBM relayouts and stay selectable via PRPE_ATTN_MODE.
 
     import jax
     import jax.numpy as jnp
@@ -81,29 +125,41 @@ def main():
     # saturate the MXU with many images in flight). pose_capacity scales 1:1
     # with batch (average one gated person per image, the BASELINE.json
     # workload assumption).
-    batch = 128
-    image_size = 640
-    pose_capacity = 128
-    gallery_size = 32
+    if dry_run:
+        batch, image_size, pose_capacity, gallery_size = 2, 128, 2, 4
+        model = CascadeModel(
+            detection=DetectionConfig(pre_nms_top_k=64),
+            pose_cfg=PoseConfig(input_size=(64, 48), heatmap_size=(16, 12),
+                                vit_hidden=32, vit_layers=1, vit_heads=2),
+            irnet_layers=18, dtype=dtype,
+        )
+        cascade_cfg = CascadeConfig(max_persons=4, max_faces=4,
+                                    match_threshold=0.3)
+        pose_hw = (64, 48)
+    else:
+        batch, image_size, pose_capacity, gallery_size = 128, 640, 128, 32
+        model = CascadeModel(
+            detection=DetectionConfig(), pose_cfg=PoseConfig(), dtype=dtype,
+        )
+        cascade_cfg = CascadeConfig(max_persons=8, max_faces=8,
+                                    match_threshold=0.3)
+        pose_hw = (256, 192)
 
-    model = CascadeModel(
-        detection=DetectionConfig(),
-        pose_cfg=PoseConfig(),
-        dtype=dtype,
-    )
+    _log(f"backend={jax.default_backend()} dtype={jnp.dtype(dtype).name} "
+         f"batch={batch}; initializing model...")
     key = jax.random.key(0)
     img0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     face0 = jnp.zeros((1, 112, 112, 3), jnp.float32)
-    pose0 = jnp.zeros((1, 256, 192, 3), jnp.float32)
+    pose0 = jnp.zeros((1,) + pose_hw + (3,), jnp.float32)
     # jit: one compiled init program instead of per-primitive eager dispatch
     variables = jax.jit(
         lambda k, a, b, c: model.init(k, a, b, c, method="init_all")
     )(key, img0, face0, pose0)
+    jax.block_until_ready(variables)
+    _log("model initialized; building + compiling cascade runner...")
 
-    runner = build_cascade_runner(
-        model, CascadeConfig(max_persons=8, max_faces=8, match_threshold=0.3),
-        pose_capacity=pose_capacity,
-    )
+    runner = build_cascade_runner(model, cascade_cfg,
+                                  pose_capacity=pose_capacity)
 
     # serve bf16 pixels: skips the on-device fp32->bf16 retile of the 640^2
     # batch (crop coordinate math stays fp32 inside prpe_tpu/ops/roi.py)
@@ -116,24 +172,36 @@ def main():
     # warmup / compile
     out = runner(variables, images, gallery)
     jax.block_until_ready(out)
+    _log("compiled; measuring...")
 
-    iters = 20
+    # chunked measurement under the soft deadline: emit whatever completed
+    target_iters = 4 if dry_run else 20
+    chunk = 1 if dry_run else 4
+    done = 0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = runner(variables, images, gallery)
-    jax.block_until_ready(out)
+    while done < target_iters:
+        for _ in range(chunk):
+            out = runner(variables, images, gallery)
+        jax.block_until_ready(out)
+        done += chunk
+        elapsed_total = time.perf_counter() - _T0
+        _log(f"measured {done}/{target_iters} iters "
+             f"({batch * done / (time.perf_counter() - t0):.0f} img/s)")
+        if elapsed_total > deadline_s:
+            _log(f"soft deadline {deadline_s:.0f}s hit — emitting partial "
+                 f"result from {done} iters")
+            break
     dt = time.perf_counter() - t0
 
-    img_per_sec = batch * iters / dt
+    img_per_sec = batch * done / dt
     print(json.dumps({
         "metric": "face_gated_pose_cascade_640_throughput",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / REFERENCE_CASCADE_IMG_PER_SEC, 3),
-    }))
+    }), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    import sys
-
     sys.exit(main())

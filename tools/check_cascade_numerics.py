@@ -146,7 +146,7 @@ def check_bf16(n_scenes: int = 100, batch: int = 4) -> None:
     gallery = jax.random.normal(jax.random.key(2), (16, 512))
     gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True)
 
-    gate_flips = id_flips = gated_both = valid_a = 0
+    gate_flips = id_flips = gated_both = valid_a = faces_both = 0
     kp_drift = []
     box_drift = []
     for start in range(0, n_scenes, batch):
@@ -165,6 +165,7 @@ def check_bf16(n_scenes: int = 100, batch: int = 4) -> None:
                      a.persons.boxes - b.persons.boxes, 0)).max())
         gate_flips += int((a.person_gated != b.person_gated).sum())
         both_valid = a.faces.valid & b.faces.valid
+        faces_both += int(both_valid.sum())
         id_flips += int((both_valid
                          & (a.face_identity != b.face_identity)).sum())
         both = a.pose_valid & b.pose_valid
@@ -178,12 +179,28 @@ def check_bf16(n_scenes: int = 100, batch: int = 4) -> None:
         "person_slots_valid_fp32": valid_a,
         "gate_decision_flips": gate_flips,
         "identity_flips": id_flips,
+        "face_slots_compared": faces_both,
         "pose_slots_compared": gated_both,
         # pose_keypoints are image-pixel coordinates in the 640^2 frame
         # (infer/cascade.py:244-252)
         "keypoint_drift_maxabs_px640": float(max(kp_drift)) if kp_drift else None,
         "person_box_drift_maxabs_px": float(max(box_drift)),
     }
+    # pass/fail tied to the BASELINE.md ±0.5% accuracy-parity north star:
+    # bf16 serving may flip at most 0.5% of gate/identity decisions vs fp32,
+    # and keypoint drift must stay under 0.5% of the image side (3.2px@640)
+    # — drift below that bound cannot move COCO OKS AP by 0.5%.
+    out["criteria"] = {
+        "gate_flip_rate_max": 0.005,
+        "identity_flip_rate_max": 0.005,
+        "keypoint_drift_px640_max": 3.2,
+    }
+    kp = out["keypoint_drift_maxabs_px640"]
+    out["pass"] = bool(
+        gate_flips <= 0.005 * max(valid_a, 1)
+        and id_flips <= 0.005 * max(faces_both, 1)
+        and (kp is None or kp <= 3.2)
+    )
     _report("cascade_fp32_vs_bf16", out)
 
 
