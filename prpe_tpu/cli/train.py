@@ -130,6 +130,17 @@ def main(argv=None):
                          "(reference: DataLoader num_workers=4-8; 0 = inline "
                          "on the prefetch thread — right default for few-core "
                          "TPU hosts feeding packed data)")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="stage every task's epoch on device ONCE before the "
+                         "first program runs and replay it each epoch "
+                         "(augmentation frozen to the staged epoch). For "
+                         "datasets that fit HBM — e.g. convergence runs — on "
+                         "hosts with a slow/degrading host->device link "
+                         "(data/pipeline.py::device_resident_loader)")
+    ap.add_argument("--device-resident-max-gb", type=float, default=8.0,
+                    help="refuse --device-resident beyond this total staged "
+                         "size (model + optimizer states need the rest of "
+                         "a 16 GB v5e HBM)")
     # mixed precision: bf16 compute / fp32 params is the TPU analogue of the
     # reference's Lightning precision=16 (round_robin_trainer.py:201)
     ap.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
@@ -206,12 +217,54 @@ def main(argv=None):
                 PoseConfig(), sigma=args.pose_sigma, keypoint_thresh=args.keypoint_thresh
             ),
         )
+    # mesh first: loader staging and parameter placement both need it
+    mesh = None
+    if args.data_parallel != 0 or args.model_parallel > 1:
+        from prpe_tpu.parallel.mesh import build_mesh
+
+        mesh = build_mesh(MeshConfig(
+            data_parallel=args.data_parallel if args.data_parallel else -1,
+            model_parallel=args.model_parallel,
+        ))
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    loaders = build_task_loaders(args, cfg)
+
+    if args.device_resident:
+        # stage all epochs NOW — before build_variables executes the first
+        # large program (on this environment's loopback relay, any large
+        # program execution permanently collapses the host->device link to
+        # ~35 MB/s; README "Fed-from-disk"). One device_put per task, then
+        # the training loop never touches the link again.
+        from prpe_tpu.data.pipeline import device_resident_loader
+        from prpe_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        budget = args.device_resident_max_gb * 2**30
+        total = 0
+        for tname, tl in loaders.items():
+            for split in ("train", "val"):
+                if tl.get(split) is None:
+                    continue
+                tl[split] = device_resident_loader(
+                    tl[split], sharding=sharding,
+                    reshuffle=(split == "train"), seed=args.seed,
+                    name=f"{tname}/{split}",
+                )
+                total += tl[split].total_bytes
+                if total > budget:  # checked per loader: stop before OOM
+                    raise SystemExit(
+                        f"--device-resident exceeded "
+                        f"--device-resident-max-gb {args.device_resident_max_gb} "
+                        f"({total / 2**30:.2f} GiB staged at {tname}/{split}); "
+                        "lower --max-train-samples/--image-size or drop the flag")
+        print(f"[device-resident] total staged: {total / 2**20:.0f} MiB",
+              flush=True)
+
     model, variables = build_variables(
         pathlib.Path(args.component_dir), cfg,
         dtype=jnp.dtype(args.dtype).type,
     )
-
-    loaders = build_task_loaders(args, cfg)
 
     # keep each task's reference-parity optimizer shape (pose: AdamW +
     # OneCycle + ViT 0.1x group) and inject the CLI lr / schedule horizon.
@@ -242,17 +295,9 @@ def main(argv=None):
         total_epochs=args.epochs, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir, tasks=tasks,
     )
-    mesh = None
-    if args.data_parallel != 0 or args.model_parallel > 1:
-        from prpe_tpu.parallel.mesh import (
-            build_mesh, make_param_shardings, replicated,
-        )
+    if mesh is not None:
+        from prpe_tpu.parallel.mesh import make_param_shardings, replicated
 
-        mesh = build_mesh(MeshConfig(
-            data_parallel=args.data_parallel if args.data_parallel else -1,
-            model_parallel=args.model_parallel,
-        ))
-        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         variables = {
             "params": jax.device_put(
                 variables["params"],

@@ -108,6 +108,65 @@ def prefetch_to_device(
         yield item
 
 
+def device_resident_loader(
+    loader: Callable[[int], Iterable],
+    *,
+    sharding=None,
+    reshuffle: bool = True,
+    seed: int = 0,
+    name: str = "",
+) -> Callable[[int], Iterator[Dict[str, Any]]]:
+    """Stage ONE epoch of ``loader`` on device up front and replay it every
+    epoch (batch order re-permuted per epoch unless ``reshuffle=False``).
+
+    Why: on hosts where the host->device link degrades or is slow relative
+    to compute (this environment's loopback relay collapses to ~35 MB/s
+    after the first large program executes — README "Fed-from-disk"), a
+    dataset that fits HBM should cross the link exactly once, BEFORE any
+    large program runs. This is the device-side analogue of the reference's
+    pinned-memory DataLoader (object_detection/datamodule.py:287-305) for
+    datasets small enough to cache whole.
+
+    Tradeoff (documented): per-epoch augmentation is frozen to the staged
+    epoch — every epoch replays epoch 0's samples/augmentations in a new
+    order. Appropriate for small fixed datasets (convergence runs, demos),
+    not for full-scale training where fresh augmentation matters.
+
+    The wrapper exposes ``total_bytes`` (for HBM budget checks) and
+    ``steps_per_epoch`` (delegated) and materializes eagerly at call time
+    of this function.
+    """
+    batches: List[Dict[str, Any]] = []
+    total = 0
+    for batch in loader(0):
+        if sharding is not None:
+            batch = jax.device_put(batch, sharding)
+        else:
+            batch = jax.device_put(batch)
+        batches.append(batch)
+        total += sum(
+            int(np.prod(v.shape)) * v.dtype.itemsize for v in batch.values()
+        )
+    jax.block_until_ready(batches)
+    if hasattr(loader, "close"):
+        loader.close()
+
+    def replay(epoch: int) -> Iterator[Dict[str, Any]]:
+        order = np.arange(len(batches))
+        if reshuffle and epoch > 0:
+            np.random.default_rng(seed + epoch).shuffle(order)
+        for i in order:
+            yield batches[int(i)]
+
+    replay.close = lambda: None
+    replay.total_bytes = total
+    replay.steps_per_epoch = getattr(loader, "steps_per_epoch", len(batches))
+    if name:
+        print(f"[device-resident] {name}: staged {len(batches)} batches "
+              f"({total / 2**20:.0f} MiB) on device", flush=True)
+    return replay
+
+
 def make_epoch_loader(
     dataset,
     batch_size: int,

@@ -81,7 +81,11 @@ def test_train_main_smoke_and_resume(tmp_path):
     assert meta["checkpoints"], "no checkpoints written"
     assert (logs / "training_metrics.log").exists()
 
-    rc = main(["--epochs", "2", "--resume-checkpoint", "latest"] + base)
+    # resume leg also exercises --device-resident (stage-once-replay
+    # loaders, data/pipeline.py::device_resident_loader) on the same
+    # compiled programs
+    rc = main(["--epochs", "2", "--resume-checkpoint", "latest",
+               "--device-resident"] + base)
     assert rc == 0
     meta2 = json.loads((ckpt / "meta.json").read_text())
     epochs = {c["epoch"] for c in meta2["checkpoints"]}

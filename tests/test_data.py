@@ -124,6 +124,36 @@ def test_make_epoch_loader_batches(tmp_path):
     assert batches[0]["image"].shape == (2, 32, 32, 3)
 
 
+def test_device_resident_loader_replays_staged_epoch():
+    """--device-resident semantics (cli/train.py): one staging pass, then
+    every epoch replays the SAME device-resident batches (reshuffled order),
+    with size/steps bookkeeping for the HBM budget check."""
+    from prpe_tpu.data.pipeline import device_resident_loader
+
+    calls = []
+
+    def loader(epoch):
+        calls.append(epoch)
+        return ({"x": np.full((2, 4), i, np.uint8)} for i in range(5))
+
+    loader.steps_per_epoch = 5
+    closed = []
+    loader.close = lambda: closed.append(True)
+
+    dr = device_resident_loader(loader, seed=3, name="")
+    assert calls == [0] and closed == [True]  # staged once, source closed
+    assert dr.total_bytes == 5 * 2 * 4
+    assert dr.steps_per_epoch == 5
+
+    e0 = [int(np.asarray(b["x"])[0, 0]) for b in dr(0)]
+    assert e0 == [0, 1, 2, 3, 4]  # epoch 0 = staged order
+    e1 = [int(np.asarray(b["x"])[0, 0]) for b in dr(1)]
+    assert sorted(e1) == e0 and e1 != e0  # same data, new order
+    # deterministic per epoch
+    assert [int(np.asarray(b["x"])[0, 0]) for b in dr(1)] == e1
+    assert calls == [0]  # never re-fetches from the source
+
+
 def test_prefetch_propagates_producer_error():
     """A data error mid-epoch must raise in the consumer, not silently end
     the epoch (round-1 advisor finding on prefetch_to_device)."""

@@ -45,6 +45,13 @@ def train_cmd(args, data: pathlib.Path, out: pathlib.Path, resume: bool):
         "--log-dir", str(out),
         "--component-dir", "/tmp/none",  # fresh init (no ported ckpts here)
     ]
+    if args.device_resident:
+        # stage each task's epoch on-device once, before the first large
+        # program executes — this environment's loopback relay collapses
+        # host->device to ~35 MB/s after any large program runs (README
+        # "Fed-from-disk"), which fed round 3's attempt at 3.1 img/s and
+        # made 24 epochs x 4 tasks unfinishable
+        cmd += ["--device-resident"]
     if resume:
         cmd += ["--resume-checkpoint", "latest"]
     return cmd
@@ -106,9 +113,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--samples", type=int, default=256)
     ap.add_argument("--data", default="/tmp/synth_mt_full")
-    ap.add_argument("--out", default=str(ROOT / "runs" / "r3_round_robin_convergence"))
+    ap.add_argument("--out", default=str(ROOT / "runs" / "r4_round_robin_convergence"))
     ap.add_argument("--kill-after", type=int, default=900,
                     help="seconds before the mid-run SIGKILL (resume probe)")
+    ap.add_argument("--no-device-resident", dest="device_resident",
+                    action="store_false", default=True)
     ap.add_argument("--summarize-only", action="store_true")
     ap.add_argument("--resume-only", action="store_true",
                     help="skip phase 1 (already ran); go straight to the "
