@@ -137,7 +137,10 @@ def main(argv=None):
                                     match_threshold=0.3)
         pose_hw = (64, 48)
     else:
-        batch, image_size, pose_capacity, gallery_size = 128, 640, 128, 32
+        # batch 128 = the measured knee (re-swept on the round-3 program,
+        # see README); PRPE_BENCH_BATCH overrides for sweeps
+        batch = int(os.environ.get("PRPE_BENCH_BATCH", "128"))
+        image_size, pose_capacity, gallery_size = 640, batch, 32
         model = CascadeModel(
             detection=DetectionConfig(), pose_cfg=PoseConfig(), dtype=dtype,
         )

@@ -96,10 +96,12 @@ def summarize(out: pathlib.Path) -> dict:
         head = sum(vals[:3]) / max(len(vals[:3]), 1)
         tail = sum(vals[-3:]) / max(len(vals[-3:]), 1)
         loss = curve("val/loss") if "val/loss" in cols else []
+        # when the fallback lands on a loss-like column, lower is better
+        up_is_good = "loss" not in col
         summary[task] = {
             "metric": col, "epochs": len(vals),
             "first3_mean": round(head, 4), "last3_mean": round(tail, 4),
-            "improved": bool(tail > head),
+            "improved": bool(tail > head if up_is_good else tail < head),
             "val_loss_first3": round(sum(loss[:3]) / 3, 4) if len(loss) >= 3 else None,
             "val_loss_last3": round(sum(loss[-3:]) / 3, 4) if len(loss) >= 3 else None,
             "curve": [round(v, 4) for v in vals],
