@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import sys
 import time
 
 import numpy as np
@@ -57,7 +58,8 @@ def _ensure_packed_scenes(root: pathlib.Path, n: int, size: int) -> pathlib.Path
 
     from prpe_tpu.data.packed import pack_dataset
 
-    print(f"[bench_io] packing {n} synthetic scenes to {out} ...", flush=True)
+    print(f"[bench_io] packing {n} synthetic scenes to {out} ...",
+          file=sys.stderr, flush=True)
     pack_dataset(SceneDS(), out, image_norm="unit", progress_every=256)
     return out
 
@@ -72,7 +74,8 @@ def _ensure_jpeg_dataset(root: pathlib.Path, n: int, size: int) -> pathlib.Path:
 
     img_dir.mkdir(parents=True, exist_ok=True)
     lbl_dir.mkdir(parents=True, exist_ok=True)
-    print(f"[bench_io] writing {n} JPEGs to {img_dir} ...", flush=True)
+    print(f"[bench_io] writing {n} JPEGs to {img_dir} ...",
+          file=sys.stderr, flush=True)
     for i in range(n):
         rng = np.random.default_rng(2000 + i)
         Image.fromarray(_make_scene(rng, size)).save(
@@ -204,7 +207,7 @@ def bench_train(args) -> dict:
                 b = detection_batch(rng, 1, 640, 16)
                 return {k: v[0] for k, v in b.items()}
 
-        print(f"[bench_io] packing {args.images} detection samples ...",
+        print(f"[bench_io] packing {args.images} detection samples ...", file=sys.stderr,
               flush=True)
         pack_dataset(DetDS(), root, image_norm="unit", progress_every=256)
     ds = PackedDataset(root)
