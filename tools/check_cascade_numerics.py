@@ -153,7 +153,8 @@ def _greedy_match(boxes_a, boxes_b, thr: float = 0.6):
     return pairs
 
 
-def check_bf16(n_scenes: int = 100, batch: int = 4) -> None:
+def check_bf16(n_scenes: int = 100, batch: int = 4,
+               person_ckpt: str = None, face_ckpt: str = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -184,6 +185,27 @@ def check_bf16(n_scenes: int = 100, batch: int = 4) -> None:
         )(jax.random.key(0), jnp.zeros((1, 640, 640, 3), jnp.float32),
           jnp.zeros((1, 112, 112, 3), jnp.float32),
           jnp.zeros((1, 256, 192, 3), jnp.float32))
+        # optional TRAINED detector weights (cli.train_yolo checkpoints):
+        # trained detectors emit separated scores, so cross-dtype NMS
+        # selection is stable and the comparison measures numerics, not
+        # random-weight near-ties. Both dtype variants get the SAME weights.
+        for slot, ckpt_path in (("person_yolo", person_ckpt),
+                                ("face_yolo", face_ckpt)):
+            if ckpt_path:
+                import orbax.checkpoint as ocp
+
+                template = {
+                    "params": jax.device_get(variables["params"][slot]),
+                    "batch_stats": jax.device_get(
+                        variables["batch_stats"].get(slot, {})),
+                }
+                restored = ocp.StandardCheckpointer().restore(
+                    pathlib.Path(ckpt_path).absolute(), template)
+                variables["params"][slot] = jax.tree_util.tree_map(
+                    jnp.asarray, restored["params"])
+                if restored["batch_stats"]:
+                    variables["batch_stats"][slot] = jax.tree_util.tree_map(
+                        jnp.asarray, restored["batch_stats"])
         runners[name] = (build_cascade_runner(model, ccfg, pose_capacity=batch),
                          variables)
 
@@ -327,10 +349,20 @@ def check_bf16(n_scenes: int = 100, batch: int = 4) -> None:
 
 
 if __name__ == "__main__":
-    cmd = sys.argv[1] if len(sys.argv) > 1 else "twins"
-    if cmd == "twins":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("cmd", nargs="?", default="twins",
+                    choices=("twins", "bf16"))
+    ap.add_argument("--scenes", type=int, default=100)
+    ap.add_argument("--person-ckpt", default=None,
+                    help="cli.train_yolo checkpoint dir for the person "
+                         "detector (trained weights make cross-dtype NMS "
+                         "selection stable)")
+    ap.add_argument("--face-ckpt", default=None)
+    a = ap.parse_args()
+    if a.cmd == "twins":
         check_twins()
-    elif cmd == "bf16":
-        check_bf16()
     else:
-        raise SystemExit(f"unknown subcommand {cmd}")
+        check_bf16(n_scenes=a.scenes, person_ckpt=a.person_ckpt,
+                   face_ckpt=a.face_ckpt)
