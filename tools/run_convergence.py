@@ -26,6 +26,10 @@ import sys
 import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+# script-mode sys.path[0] is tools/, not the repo root — needed for the
+# CheckpointManager import in resume_to_completion
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
 
 
 def train_cmd(args, data: pathlib.Path, out: pathlib.Path, resume: bool):
@@ -120,6 +124,10 @@ def main():
                     help="seconds before the mid-run SIGKILL (resume probe)")
     ap.add_argument("--no-device-resident", dest="device_resident",
                     action="store_false", default=True)
+    ap.add_argument("--resume-timeout", type=int, default=3600,
+                    help="hard timeout per resume attempt (a wedged relay "
+                         "blocks device_put forever; only a fresh process "
+                         "recovers)")
     ap.add_argument("--summarize-only", action="store_true")
     ap.add_argument("--resume-only", action="store_true",
                     help="skip phase 1 (already ran); go straight to the "
@@ -139,7 +147,11 @@ def main():
         def resume_to_completion():
             # the SIGKILL can leave the single-client TPU relay mid-RPC;
             # resume is idempotent (restarts from the latest checkpoint),
-            # so retry transient relay failures with a grace period.
+            # so retry transient relay failures with a grace period. Each
+            # attempt runs under a hard timeout: a wedged relay blocks
+            # device_put in C++ on a futex FOREVER (observed round 4 — the
+            # resume process sat at 4% CPU with staging half done), and only
+            # a fresh process/connection recovers.
             t0 = time.time()
             for attempt in range(3):
                 time.sleep(30)
@@ -151,15 +163,21 @@ def main():
                 # staging dirs — the round-3 3x-crash failure mode).
                 from prpe_tpu.train.checkpoint import CheckpointManager
                 has_ckpt = CheckpointManager(str(out / "ckpt")).has_restorable()
-                r = subprocess.run(train_cmd(args, data, out, resume=has_ckpt),
-                                   cwd=ROOT, stdout=log.open("w"),
-                                   stderr=subprocess.STDOUT)
-                if r.returncode == 0:
+                try:
+                    r = subprocess.run(
+                        train_cmd(args, data, out, resume=has_ckpt),
+                        cwd=ROOT, stdout=log.open("w"),
+                        stderr=subprocess.STDOUT,
+                        timeout=args.resume_timeout)
+                    rc = r.returncode
+                except subprocess.TimeoutExpired:
+                    rc = "timeout"
+                if rc == 0:
                     print(f"[convergence] resume phase done in "
                           f"{time.time()-t0:.0f}s", flush=True)
                     return
                 print(f"[convergence] resume attempt {attempt} failed "
-                      f"(rc={r.returncode}, see {log.name}); retrying",
+                      f"(rc={rc}, see {log.name}); retrying",
                       flush=True)
             raise RuntimeError("resume phase failed 3 times")
 
