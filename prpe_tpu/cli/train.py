@@ -121,6 +121,12 @@ def main(argv=None):
     ap.add_argument("--pose-sigma", type=float, default=2.0)
     ap.add_argument("--keypoint-thresh", type=float, default=0.3)
     ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--save-every", type=int, default=1,
+                    help="save the combined checkpoint every N epochs "
+                         "(reference base_config save_period, "
+                         "round_robin_trainer.py:439). Full-state "
+                         "checkpoints are ~2 GB; on slow-relay hosts "
+                         "per-epoch saving dominates the epoch wall clock")
     ap.add_argument("--resume-checkpoint", default=None)
     ap.add_argument("--component-dir", default="component_models")
     ap.add_argument("--log-dir", default="runs")
@@ -294,6 +300,7 @@ def main(argv=None):
     tcfg = TrainConfig(
         total_epochs=args.epochs, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir, tasks=tasks,
+        save_every_epochs=args.save_every,
     )
     if mesh is not None:
         from prpe_tpu.parallel.mesh import make_param_shardings, replicated

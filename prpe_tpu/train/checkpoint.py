@@ -81,7 +81,15 @@ class CheckpointManager:
     def update_best(self, task: str, monitor: str, value: float, mode: str,
                     state: TrainState, epoch: int) -> bool:
         """Track per-task best by monitor (reference ModelCheckpoint analogue,
-        round_robin_trainer.py:150-184). Returns True if improved."""
+        round_robin_trainer.py:150-184). Returns True if improved.
+
+        Best checkpoints are SLIM — params + batch stats only, no optimizer
+        moments: they exist for model selection/deployment, and the full
+        ~2 GB state made the per-improvement save dominate early task-epoch
+        wall clock (measured ~45s each, round 4). Resume continues from the
+        full per-epoch combined checkpoints; restoring from a best gives
+        fresh optimizer state (the reference's resume path equally ignores
+        its ModelCheckpoint files, round_robin_trainer.py:375-393)."""
         meta = self._meta()
         best = meta["best"].get(task)
         better = (
@@ -94,10 +102,12 @@ class CheckpointManager:
             path = self.dir / name
             if path.exists():
                 shutil.rmtree(path)
-            self._ckpt.save(path, jax.device_get(state))
+            payload = {"params": jax.device_get(state.params),
+                       "batch_stats": jax.device_get(state.batch_stats)}
+            self._ckpt.save(path, payload)
             self._wait()
             meta["best"][task] = {"value": float(value), "monitor": monitor,
-                                  "epoch": epoch, "name": name}
+                                  "epoch": epoch, "name": name, "slim": True}
             self._write_meta(meta)
         return better
 
@@ -182,5 +192,15 @@ class CheckpointManager:
                     {},
                 )
             path = p
-        restored = self._ckpt.restore(Path(path).absolute(), target)
+        p = Path(path).absolute()
+        try:
+            restored = self._ckpt.restore(p, target)
+        except Exception:
+            # slim (best_*) checkpoint: params + batch_stats only — restore
+            # those into the target, keep its (fresh) optimizer states
+            slim = self._ckpt.restore(
+                p, {"params": target.params, "batch_stats": target.batch_stats}
+            )
+            restored = target.replace(params=slim["params"],
+                                      batch_stats=slim["batch_stats"])
         return restored, entry

@@ -49,6 +49,11 @@ def train_cmd(args, data: pathlib.Path, out: pathlib.Path, resume: bool):
         "--log-dir", str(out),
         "--component-dir", "/tmp/none",  # fresh init (no ported ckpts here)
     ]
+    if args.save_every != 1:
+        # full-state checkpoints are ~2.1 GB; at per-epoch cadence the two
+        # saves (epoch + best) dominate the task-epoch wall clock on this
+        # relay host (~90s of ~150s measured round 4)
+        cmd += ["--save-every", str(args.save_every)]
     if args.device_resident:
         # stage each task's epoch on-device once, before the first large
         # program executes — this environment's loopback relay collapses
@@ -124,6 +129,7 @@ def main():
                     help="seconds before the mid-run SIGKILL (resume probe)")
     ap.add_argument("--no-device-resident", dest="device_resident",
                     action="store_false", default=True)
+    ap.add_argument("--save-every", type=int, default=6)
     ap.add_argument("--resume-timeout", type=int, default=3600,
                     help="hard timeout per resume attempt (a wedged relay "
                          "blocks device_put forever; only a fresh process "
