@@ -143,11 +143,16 @@ def device_resident_loader(
             batch = jax.device_put(batch, sharding)
         else:
             batch = jax.device_put(batch)
+        # block per batch: queueing a GiB of async transfers can exhaust a
+        # flow-control-windowed host->device link (the loopback relay here
+        # stalls outright with ~40 multi-MB puts in flight); serialized
+        # transfers are marginally slower on healthy links and strictly
+        # safer on constrained ones
+        jax.block_until_ready(batch)
         batches.append(batch)
         total += sum(
             int(np.prod(v.shape)) * v.dtype.itemsize for v in batch.values()
         )
-    jax.block_until_ready(batches)
     if hasattr(loader, "close"):
         loader.close()
 
