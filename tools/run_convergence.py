@@ -91,11 +91,18 @@ def summarize(out: pathlib.Path) -> dict:
         def curve(col):
             return [float(r[col]) for r in rows if r.get(col) not in (None, "")]
 
-        # preferred headline metric, skipping degenerate (constant) curves,
-        # then any non-constant val/ metric
+        # preferred headline metric, skipping degenerate curves — constant
+        # OR pure noise (total range under 0.01: an mAP wobbling between
+        # 0 and 0.002 pre-convergence must not decide the verdict) — then
+        # any non-degenerate val/ metric (val/loss is the final fallback
+        # and is judged lower-is-better below)
+        def meaningful(c):
+            vals = curve(c)
+            return len(vals) > 1 and (max(vals) - min(vals)) > 0.01
+
         col = next(
             (c for c in prefs + [c for c in cols if c.startswith("val/")]
-             if c in cols and len(set(curve(c))) > 1),
+             if c in cols and meaningful(c)),
             None,
         )
         if col is None:
