@@ -390,6 +390,26 @@ def make_eval_step(model, task: str, cfg: CombinedModelConfig) -> Callable:
 
         if task == "face_recognition":
             loss, (_, metrics) = loss_fn(params, batch_stats, batch, dummy_rng, False)
+            # Reference quirk, corrected: the reference scores val accuracy on
+            # MARGIN-PENALIZED logits (face_recognition/module.py:111-145) —
+            # AdaFace subtracts the margin on the TRUE class, so at eval time
+            # argmax is biased *against* the correct identity and val_acc can
+            # sit below 1/num_classes chance even while the model learns
+            # (observed: runs/r4_round_robin_convergence, train acc 0.74 with
+            # val acc 0.0). `acc` here is margin-free cosine argmax — the
+            # deployment decision rule; the reference's metric is kept as
+            # `acc_margin`. `loss` stays margin CE (reference parity).
+            from prpe_tpu.ops import margin as margin_ops
+
+            emb, _ = model.apply(variables, batch["image"], False,
+                                 method="embed_face")
+            cos = margin_ops._normalized_cosine(
+                params["face_kernel"].astype(jnp.float32),
+                emb.astype(jnp.float32), 1e-3)
+            metrics = dict(metrics)
+            metrics["acc_margin"] = metrics["acc"]
+            metrics["acc"] = (cos.argmax(-1) == batch["label"]).astype(
+                jnp.float32).mean()
             return metrics, None
 
         if task == "pose_estimation":

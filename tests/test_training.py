@@ -163,6 +163,61 @@ def test_eval_steps_run(setup):
             assert preds.boxes.shape[-1] == 4
 
 
+def test_face_rec_eval_acc_is_margin_free(setup):
+    """Eval `acc` must score the deployment decision rule (cosine argmax),
+    not the margin-penalized training logits.
+
+    The reference scores val accuracy on AdaFace margin logits
+    (face_recognition/module.py:111-145): the margin lowers the TRUE class
+    logit, so a correct-identity embedding can argmax to a wrong class and
+    val_acc sits below chance while the model learns (observed at full
+    scale: runs/r4_round_robin_convergence — train acc 0.74, val acc 0.0).
+    Construct that exact case: an embedding equal to its class prototype
+    (cosine 1.0) with a decoy prototype at cosine ~(1 - margin-effect) —
+    margin-free argmax is right, margin argmax is wrong."""
+    from prpe_tpu.ops import margin as margin_ops
+
+    cfg, model, variables = setup
+    rng = np.random.default_rng(3)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.face_batch(
+        rng, 4, 128, cfg.face.num_classes).items()}
+    estep = make_eval_step(model, "face_recognition", cfg)
+    metrics, _ = estep(variables, batch)
+    assert "acc" in metrics and "acc_margin" in metrics
+
+    # the step's acc must equal an independently computed cosine argmax
+    norm = {"mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)}
+    from prpe_tpu.data.packed import apply_image_norm
+    from prpe_tpu.train.steps import TASK_IMAGE_NORM
+    img = apply_image_norm(batch["image"], TASK_IMAGE_NORM["face_recognition"])
+    emb, _ = model.apply(variables, img, False, method="embed_face")
+    cos = margin_ops._normalized_cosine(
+        np.asarray(variables["params"]["face_kernel"], np.float32),
+        np.asarray(emb, np.float32), 1e-3)
+    want = float((np.argmax(np.asarray(cos), -1)
+                  == np.asarray(batch["label"])).mean())
+    assert float(metrics["acc"]) == pytest.approx(want)
+
+    # unit-level: margin penalization flips the argmax, cosine does not
+    e = np.zeros((1, cfg.face.embedding_size), np.float32)
+    e[0, 0] = 1.0
+    # fill with tiny noise so no kernel column has zero norm (normalization
+    # of a zero column is NaN and would hijack argmax)
+    kernel = np.random.default_rng(0).normal(
+        0, 1e-3, (cfg.face.embedding_size, cfg.face.num_classes)
+    ).astype(np.float32)
+    kernel[:, :2] = 0.0
+    kernel[0, 0] = 1.0          # true class prototype == embedding
+    kernel[0, 1] = 0.995        # decoy barely behind on cosine
+    kernel[1, 1] = np.sqrt(1 - 0.995**2)
+    cos1 = margin_ops._normalized_cosine(kernel, e, 1e-3)
+    assert int(np.argmax(np.asarray(cos1), -1)[0]) == 0
+    logits, _ = margin_ops.adaface_logits(
+        jnp.asarray(kernel), jnp.asarray(e), jnp.asarray([[24.0]]),
+        jnp.asarray([0]), margin_ops.MarginState.init(), update_stats=False)
+    assert int(np.argmax(np.asarray(logits), -1)[0]) == 1
+
+
 def test_round_robin_end_to_end(setup, tmp_path):
     cfg, model, variables = setup
     tasks = tuple(
