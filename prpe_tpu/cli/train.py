@@ -52,6 +52,8 @@ def build_task_loaders(args, cfg):
     loaders["person_detection"] = detection("person_detection", args.person_data_dir)
     loaders["face_detection"] = detection("face_detection", args.face_data_dir)
 
+    from prpe_tpu.eval.verification import face_verification_hook
+
     try:
         ftrain = IdentityFolderDataset(args.face_rec_data_dir, "train", augment=True)
         fval = IdentityFolderDataset(args.face_rec_data_dir, "val")
@@ -62,6 +64,7 @@ def build_task_loaders(args, cfg):
             "val": pipeline.make_epoch_loader(fval, args.batch_size,
                                               max_samples=args.max_val_samples,
                                               shuffle=False),
+            "eval_hook": face_verification_hook(),
         }
     except (FileNotFoundError, StopIteration, OSError):
         print(f"[face_recognition] dataset not found at {args.face_rec_data_dir}; synthetic")
@@ -131,6 +134,10 @@ def main(argv=None):
     ap.add_argument("--component-dir", default="component_models")
     ap.add_argument("--log-dir", default="runs")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tasks", default=None,
+                    help="comma-separated subset of tasks to round-robin "
+                         "(default: all four). E.g. --tasks face_recognition "
+                         "for a focused single-task run")
     ap.add_argument("--num-workers", type=int, default=0,
                     help="decode/augment worker processes per TRAIN loader "
                          "(reference: DataLoader num_workers=4-8; 0 = inline "
@@ -143,6 +150,14 @@ def main(argv=None):
                          "datasets that fit HBM — e.g. convergence runs — on "
                          "hosts with a slow/degrading host->device link "
                          "(data/pipeline.py::device_resident_loader)")
+    ap.add_argument("--device-resident-refresh", action="store_true",
+                    help="with --device-resident: double-buffer FRESH "
+                         "per-epoch augmentations (reference regimen, "
+                         "yolopt/dataset.py:105-176) — host pipeline runs "
+                         "epoch N+1 in a background thread during epoch N, "
+                         "transfers interleave between program executions, "
+                         "frozen-replay fallback when staging lags. Needs "
+                         "2x the train-split HBM budget")
     ap.add_argument("--device-resident-max-gb", type=float, default=8.0,
                     help="refuse --device-resident beyond this total staged "
                          "size (model + optimizer states need the rest of "
@@ -236,6 +251,14 @@ def main(argv=None):
 
     loaders = build_task_loaders(args, cfg)
 
+    if args.tasks:
+        keep = [t.strip() for t in args.tasks.split(",") if t.strip()]
+        unknown = [t for t in keep if t not in loaders]
+        if unknown:
+            raise SystemExit(f"--tasks: unknown task(s) {unknown}; "
+                             f"choose from {sorted(loaders)}")
+        loaders = {k: v for k, v in loaders.items() if k in keep}
+
     if args.device_resident:
         # stage all epochs NOW — before build_variables executes the first
         # large program (on this environment's loopback relay, any large
@@ -256,6 +279,8 @@ def main(argv=None):
                     tl[split], sharding=sharding,
                     reshuffle=(split == "train"), seed=args.seed,
                     name=f"{tname}/{split}",
+                    refresh=(args.device_resident_refresh
+                             and split == "train"),
                 )
                 total += tl[split].total_bytes
                 if total > budget:  # checked per loader: stop before OOM
@@ -296,6 +321,7 @@ def main(argv=None):
             trainable=args.trainable,
         )
         for t in default_task_configs()
+        if t.name in loaders
     )
     tcfg = TrainConfig(
         total_epochs=args.epochs, seed=args.seed,

@@ -115,6 +115,7 @@ def device_resident_loader(
     reshuffle: bool = True,
     seed: int = 0,
     name: str = "",
+    refresh: bool = False,
 ) -> Callable[[int], Iterator[Dict[str, Any]]]:
     """Stage ONE epoch of ``loader`` on device up front and replay it every
     epoch (batch order re-permuted per epoch unless ``reshuffle=False``).
@@ -127,22 +128,41 @@ def device_resident_loader(
     pinned-memory DataLoader (object_detection/datamodule.py:287-305) for
     datasets small enough to cache whole.
 
-    Tradeoff (documented): per-epoch augmentation is frozen to the staged
-    epoch — every epoch replays epoch 0's samples/augmentations in a new
-    order. Appropriate for small fixed datasets (convergence runs, demos),
-    not for full-scale training where fresh augmentation matters.
+    ``refresh=False`` (default): per-epoch augmentation is frozen to the
+    staged epoch — every epoch replays epoch 0's samples/augmentations in a
+    new order. Appropriate for small fixed datasets; NOT the reference's
+    regimen (fresh mosaic/affine per epoch, training/yolopt/dataset.py:105-176).
 
-    The wrapper exposes ``total_bytes`` (for HBM budget checks) and
-    ``steps_per_epoch`` (delegated) and materializes eagerly at call time
-    of this function.
+    ``refresh=True``: double-buffer — a background thread runs the host
+    pipeline (decode + fresh augmentation) for epoch N+1 while epoch N
+    computes, and the replay generator issues ONE async device transfer per
+    yielded batch, so puts land *between* program executions and at most one
+    multi-MB transfer is in flight (the loopback relay stalls with ~40
+    queued). When the next epoch's staging has not finished by the time that
+    epoch starts, it falls back to frozen replay of the newest staged epoch
+    (training never blocks on the link); ``fresh_epochs``/``stale_epochs``
+    counters report how often each path ran. HBM holds at most two epochs of
+    this loader while a swap is in flight.
+
+    The wrapper exposes ``total_bytes`` (for HBM budget checks; 2x when
+    ``refresh``) and ``steps_per_epoch`` (delegated) and materializes eagerly
+    at call time of this function.
     """
     batches: List[Dict[str, Any]] = []
     total = 0
-    for batch in loader(0):
+
+    def _put(batch):
         if sharding is not None:
-            batch = jax.device_put(batch, sharding)
-        else:
-            batch = jax.device_put(batch)
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    # raw host batches where available: the epoch loader's prefetch wrapper
+    # already device_puts, which would double-transfer here and, for the
+    # refresh producer, move transfers onto the background thread
+    host_loader = getattr(loader, "host", loader)
+
+    for batch in host_loader(0):
+        batch = _put(batch)
         # block per batch: queueing a GiB of async transfers can exhaust a
         # flow-control-windowed host->device link (the loopback relay here
         # stalls outright with ~40 multi-MB puts in flight); serialized
@@ -153,22 +173,89 @@ def device_resident_loader(
         total += sum(
             int(np.prod(v.shape)) * v.dtype.itemsize for v in batch.values()
         )
-    if hasattr(loader, "close"):
+
+    state = {"batches": batches, "epoch": 0,
+             "fresh_epochs": 1, "stale_epochs": 0}
+    host_next: Dict[str, Any] = {"epoch": None, "batches": None}
+    stop = threading.Event()
+    wake = threading.Event()
+    ready = threading.Event()
+
+    def _producer():
+        # runs the HOST side (decode + augment) for the next epoch; the
+        # device transfers happen on the consumer thread between yields
+        e = 1
+        while not stop.is_set():
+            try:
+                hb = list(host_loader(e))
+            except BaseException as exc:  # noqa: BLE001 - surfaced on swap
+                host_next.update(epoch=e, batches=exc)
+                ready.set()
+                return
+            host_next.update(epoch=e, batches=hb)
+            ready.set()
+            wake.wait()  # consumed — go augment the following epoch
+            wake.clear()
+            e += 1
+
+    if refresh:
+        threading.Thread(target=_producer, daemon=True,
+                         name=f"dr-refresh-{name}").start()
+    elif hasattr(loader, "close"):
         loader.close()
 
     def replay(epoch: int) -> Iterator[Dict[str, Any]]:
-        order = np.arange(len(batches))
+        cur = state["batches"]
+        staging = None
+        if refresh and epoch > 0:
+            if ready.is_set() and host_next["epoch"] is not None:
+                hb = host_next["batches"]
+                if isinstance(hb, BaseException):
+                    raise hb
+                staging = hb
+                state["fresh_epochs"] += 1
+            else:
+                state["stale_epochs"] += 1
+        order = np.arange(len(cur))
         if reshuffle and epoch > 0:
             np.random.default_rng(seed + epoch).shuffle(order)
-        for i in order:
-            yield batches[int(i)]
+        staged: List[Dict[str, Any]] = []
+        pending = None
+        for n, i in enumerate(order):
+            if staging is not None and n < len(staging):
+                # one transfer in flight at a time, issued between yields
+                if pending is not None:
+                    jax.block_until_ready(pending)
+                    staged.append(pending)
+                pending = _put(staging[n])
+            yield cur[int(i)]
+        if staging is not None:
+            if pending is not None:
+                jax.block_until_ready(pending)
+                staged.append(pending)
+            for n in range(len(staged), len(staging)):  # tail (shorter epoch)
+                b = _put(staging[n])
+                jax.block_until_ready(b)
+                staged.append(b)
+            state["batches"] = staged
+            host_next.update(epoch=None, batches=None)
+            ready.clear()
+            wake.set()  # let the producer start the following epoch
 
-    replay.close = lambda: None
-    replay.total_bytes = total
+    def close():
+        stop.set()
+        wake.set()
+        if hasattr(loader, "close"):
+            loader.close()
+
+    replay.close = close
+    replay.total_bytes = total * (2 if refresh else 1)
     replay.steps_per_epoch = getattr(loader, "steps_per_epoch", len(batches))
+    replay.stats = state
     if name:
         print(f"[device-resident] {name}: staged {len(batches)} batches "
-              f"({total / 2**20:.0f} MiB) on device", flush=True)
+              f"({total / 2**20:.0f} MiB) on device"
+              + (" [refresh double-buffer]" if refresh else ""), flush=True)
     return replay
 
 
@@ -202,17 +289,22 @@ def make_epoch_loader(
             num_workers=num_workers, prefetch=max(prefetch, 1), seed=seed,
         )
 
-    def loader(epoch: int):
+    def host(epoch: int):
+        """Raw host-side batch iterator (no device transfer) — used by
+        device_resident_loader's refresh producer."""
         if pool is not None:
-            it = pool.run(sampler.indices(epoch))
-        else:
-            it = batched(
-                sampler.indices(epoch), dataset.__getitem__, collate, batch_size
-            )
+            return pool.run(sampler.indices(epoch))
+        return batched(
+            sampler.indices(epoch), dataset.__getitem__, collate, batch_size
+        )
+
+    def loader(epoch: int):
+        it = host(epoch)
         if prefetch > 0:
             return prefetch_to_device(it, prefetch, sharding)
         return it
 
+    loader.host = host
     loader.close = pool.close if pool is not None else (lambda: None)
 
     # actual optimizer steps per epoch (drop_last batching over the

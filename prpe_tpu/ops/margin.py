@@ -13,7 +13,7 @@ collectives automatically.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +33,27 @@ class MarginState(NamedTuple):
         )
 
 
-def _normalized_cosine(kernel: jnp.ndarray, embeddings: jnp.ndarray, eps: float):
+def normalized_cosine(kernel: jnp.ndarray, embeddings: jnp.ndarray,
+                      eps: Optional[float] = None) -> jnp.ndarray:
+    """Cosine similarity of (B, E) embeddings vs (E, C) class prototypes.
+
+    ``eps=None`` returns the raw cosine — the reference's validation_step
+    applies no clamp (face_recognition/module.py:136-140), and clipping at
+    1-1e-3 can tie near-duplicate prototypes at argmax time. Margin heads
+    pass ``eps>0`` to clip into arccos's open domain.
+    """
     kernel_norm = kernel / jnp.linalg.norm(kernel, axis=0, keepdims=True)
     # Full-f32 matmul: TPU default matmul precision truncates mantissas, and
     # cosine margins are sensitive near the clip boundary (parity with the
     # reference's fp32 torch linear, libs/head_adaface.py:98).
     cosine = jnp.matmul(embeddings, kernel_norm, precision=jax.lax.Precision.HIGHEST)
+    if eps is None:
+        return cosine
     return jnp.clip(cosine, -1.0 + eps, 1.0 - eps)
+
+
+# internal margin-head path (clip required before arccos)
+_normalized_cosine = normalized_cosine
 
 
 def adaface_logits(

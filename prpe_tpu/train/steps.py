@@ -386,31 +386,55 @@ def make_eval_step(model, task: str, cfg: CombinedModelConfig) -> Callable:
                 pre_nms_top_k=det.pre_nms_top_k,
                 max_wh=det.max_wh,
             )
+            # The combined model's detection branch runs YOLO on the
+            # adapter's pseudo-image (reference: modify_models.py:47 — 160²),
+            # so decoded boxes are in ADAPTER pixels. The mAP hook compares
+            # against gt in model-image pixels — rescale here so Detections
+            # leave the step in the frame every consumer expects.
+            ah, aw = det.adapter_size
+            ih = jnp.asarray(batch["image"].shape[1], detections.boxes.dtype)
+            iw = jnp.asarray(batch["image"].shape[2], detections.boxes.dtype)
+            scale = jnp.stack([iw / aw, ih / ah, iw / aw, ih / ah])
+            detections = detections._replace(boxes=detections.boxes * scale)
             return metrics, detections
 
         if task == "face_recognition":
-            loss, (_, metrics) = loss_fn(params, batch_stats, batch, dummy_rng, False)
-            # Reference quirk, corrected: the reference scores val accuracy on
-            # MARGIN-PENALIZED logits (face_recognition/module.py:111-145) —
-            # AdaFace subtracts the margin on the TRUE class, so at eval time
-            # argmax is biased *against* the correct identity and val_acc can
-            # sit below 1/num_classes chance even while the model learns
-            # (observed: runs/r4_round_robin_convergence, train acc 0.74 with
-            # val acc 0.0). `acc` here is margin-free cosine argmax — the
-            # deployment decision rule; the reference's metric is kept as
-            # `acc_margin`. `loss` stays margin CE (reference parity).
+            # Reference-parity validation (face_recognition/module.py:119-157):
+            # one backbone forward, then MARGIN-FREE scaled cosine for both
+            # val loss (plain CE) and val accuracy (argmax). An earlier
+            # version of this port incorrectly reused the margin-penalized
+            # TRAINING logits here — AdaFace subtracts the margin on the true
+            # class, so that argmax is biased against the correct identity
+            # and val acc sat below chance even as the model learned
+            # (runs/r4_round_robin_convergence: train acc 0.74, val acc 0.0).
+            # The margin-logit numbers are kept as `loss_margin`/`acc_margin`
+            # diagnostics — they are NOT reference eval metrics.
             from prpe_tpu.ops import margin as margin_ops
 
-            emb, _ = model.apply(variables, batch["image"], False,
-                                 method="embed_face")
-            cos = margin_ops._normalized_cosine(
-                params["face_kernel"].astype(jnp.float32),
-                emb.astype(jnp.float32), 1e-3)
-            metrics = dict(metrics)
-            metrics["acc_margin"] = metrics["acc"]
-            metrics["acc"] = (cos.argmax(-1) == batch["label"]).astype(
-                jnp.float32).mean()
-            return metrics, None
+            fc = cfg.face
+            emb, norms = model.apply(variables, batch["image"], False,
+                                     method="embed_face")
+            emb32 = emb.astype(jnp.float32)
+            kernel = params["face_kernel"].astype(jnp.float32)
+            cos = margin_ops.normalized_cosine(kernel, emb32)  # unclipped
+            logits = cos * fc.s
+            loss = L.softmax_cross_entropy(logits, batch["label"]).mean()
+            acc = (logits.argmax(-1) == batch["label"]).astype(jnp.float32).mean()
+            mstate = margin_ops.MarginState(
+                batch_stats["margin_mean"], batch_stats["margin_std"])
+            mlogits, _ = margin_ops.adaface_logits(
+                kernel, emb32, norms.astype(jnp.float32), batch["label"],
+                mstate, m=fc.m, h=fc.h, s=fc.s, t_alpha=fc.t_alpha,
+                update_stats=False)
+            metrics = {
+                "loss": loss, "acc": acc,
+                "loss_margin": L.softmax_cross_entropy(
+                    mlogits, batch["label"]).mean(),
+                "acc_margin": (mlogits.argmax(-1) == batch["label"]).astype(
+                    jnp.float32).mean(),
+            }
+            # embeddings feed the host-side verification hook (LFW protocol)
+            return metrics, emb32
 
         if task == "pose_estimation":
             loss, (_, metrics) = loss_fn(params, batch_stats, batch, dummy_rng, False)

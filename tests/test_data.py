@@ -154,6 +154,41 @@ def test_device_resident_loader_replays_staged_epoch():
     assert calls == [0]  # never re-fetches from the source
 
 
+def test_device_resident_refresh_swaps_fresh_epochs():
+    """--device-resident-refresh semantics: a background thread produces
+    FRESH host epochs; each replay epoch stages the next generation between
+    yields and swaps it in for the following epoch (one-epoch staging lag),
+    falling back to frozen replay when the producer lags."""
+    import time
+
+    from prpe_tpu.data.pipeline import device_resident_loader
+
+    def loader(epoch):
+        # epoch-dependent content so generations are distinguishable
+        return ({"x": np.full((2, 4), 10 * epoch + i, np.uint8)}
+                for i in range(4))
+
+    loader.steps_per_epoch = 4
+
+    dr = device_resident_loader(loader, seed=3, name="", refresh=True)
+    assert dr.total_bytes == 2 * 4 * 2 * 4  # 2x: double-buffer budget
+
+    def drain(epoch):
+        return sorted(int(np.asarray(b["x"])[0, 0]) for b in dr(epoch))
+
+    assert drain(0) == [0, 1, 2, 3]          # epoch 0 = staged gen-0
+    # give the producer time to finish host epoch 1, then epoch 1 stages it
+    # while (re)playing gen-0; epoch 2 trains on the fresh gen-1 batches
+    deadline = time.time() + 10
+    while dr.stats["fresh_epochs"] < 2 and time.time() < deadline:
+        got1 = drain(1)
+        if dr.stats["fresh_epochs"] >= 2:
+            assert got1 == [0, 1, 2, 3]      # stale gen while staging
+    assert dr.stats["fresh_epochs"] >= 2, "producer never delivered epoch 1"
+    assert drain(2) == [10, 11, 12, 13]      # fresh augmentations arrived
+    dr.close()
+
+
 def test_prefetch_propagates_producer_error():
     """A data error mid-epoch must raise in the consumer, not silently end
     the epoch (round-1 advisor finding on prefetch_to_device)."""

@@ -180,6 +180,65 @@ def test_train_step_sharded_matches_single_device(tiny_train_setup, task):
         )
 
 
+@pytest.mark.slow
+def test_face_rec_model_parallel_training_run_parity(tiny_train_setup):
+    """A short face-recognition TRAINING RUN (4 steps + eval) with the
+    AdaFace kernel tensor-sharded over model=2 must reproduce the
+    single-device loss/metric trajectory — the multi-step analogue of the
+    one-step parity test: margin EMA statistics thread through batch_stats
+    across steps, and the eval step's margin-free cosine argmax runs over
+    the class-sharded kernel (VERDICT r4 item 7)."""
+    import jax.numpy as jnp
+
+    from prpe_tpu.parallel.mesh import (
+        batch_sharding, make_param_shardings, replicated,
+    )
+    from prpe_tpu.data import synthetic
+    from prpe_tpu.train.state import create_train_state
+    from prpe_tpu.train.steps import make_eval_step, make_train_step
+
+    model, cfg, variables, tx, batches = tiny_train_setup
+    task = "face_recognition"
+    rng = np.random.default_rng(7)
+    steps = [synthetic.face_batch(rng, 8, 64, 64) for _ in range(4)]
+    val = synthetic.face_batch(rng, 8, 64, 64)
+
+    def run(mesh):
+        if mesh is None:
+            params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+            stats = jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"])
+            put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+            ctx = _NullCtx()
+        else:
+            params = jax.device_put(
+                variables["params"],
+                make_param_shardings(mesh, variables["params"]))
+            stats = jax.device_put(variables["batch_stats"], replicated(mesh))
+            put = lambda b: jax.device_put(
+                {k: jnp.asarray(v) for k, v in b.items()}, batch_sharding(mesh))
+            ctx = mesh
+        state = create_train_state(
+            {"params": params, "batch_stats": stats}, {task: tx})
+        step = make_train_step(model, task, tx, cfg, trainable="all")
+        estep = make_eval_step(model, task, cfg)
+        losses = []
+        with ctx:
+            for i, b in enumerate(steps):
+                state, m = step(state, put(b), jax.random.key(i))
+                losses.append(float(m["loss"]))
+            em, _ = estep({"params": state.params,
+                           "batch_stats": state.batch_stats}, put(val))
+        em = jax.device_get(em)
+        return losses, {k: float(v) for k, v in em.items()}
+
+    losses1, eval1 = run(None)
+    losses2, eval2 = run(build_mesh(MeshConfig(model_parallel=2)))
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-3)
+    for k in ("loss", "acc", "acc_margin"):
+        assert abs(eval1[k] - eval2[k]) < 2e-3 * (1 + abs(eval1[k])), (
+            k, eval1[k], eval2[k])
+
+
 def test_trainer_put_batch_shards_leading_axis():
     """RoundRobinTrainer._put_batch constrains host batches to the data axis
     (the DistributedSampler+DDP-scatter replacement used by cli.train's

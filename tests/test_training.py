@@ -164,14 +164,15 @@ def test_eval_steps_run(setup):
 
 
 def test_face_rec_eval_acc_is_margin_free(setup):
-    """Eval `acc` must score the deployment decision rule (cosine argmax),
-    not the margin-penalized training logits.
+    """Eval `acc` must score the reference's validation rule — margin-FREE
+    scaled-cosine argmax (face_recognition/module.py:119-157) — not the
+    margin-penalized TRAINING logits.
 
-    The reference scores val accuracy on AdaFace margin logits
-    (face_recognition/module.py:111-145): the margin lowers the TRUE class
-    logit, so a correct-identity embedding can argmax to a wrong class and
-    val_acc sits below chance while the model learns (observed at full
-    scale: runs/r4_round_robin_convergence — train acc 0.74, val acc 0.0).
+    An earlier version of this port reused the margin-logit loss path at
+    eval: AdaFace subtracts the margin on the TRUE class, so a
+    correct-identity embedding can argmax to a wrong class and val_acc sat
+    below chance while the model learned (observed at full scale:
+    runs/r4_round_robin_convergence — train acc 0.74, val acc 0.0).
     Construct that exact case: an embedding equal to its class prototype
     (cosine 1.0) with a decoy prototype at cosine ~(1 - margin-effect) —
     margin-free argmax is right, margin argmax is wrong."""
@@ -182,18 +183,18 @@ def test_face_rec_eval_acc_is_margin_free(setup):
     batch = {k: jnp.asarray(v) for k, v in synthetic.face_batch(
         rng, 4, 128, cfg.face.num_classes).items()}
     estep = make_eval_step(model, "face_recognition", cfg)
-    metrics, _ = estep(variables, batch)
+    metrics, emb_out = estep(variables, batch)
     assert "acc" in metrics and "acc_margin" in metrics
+    assert emb_out is not None  # embeddings feed the verification hook
 
     # the step's acc must equal an independently computed cosine argmax
-    norm = {"mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)}
     from prpe_tpu.data.packed import apply_image_norm
     from prpe_tpu.train.steps import TASK_IMAGE_NORM
     img = apply_image_norm(batch["image"], TASK_IMAGE_NORM["face_recognition"])
     emb, _ = model.apply(variables, img, False, method="embed_face")
-    cos = margin_ops._normalized_cosine(
+    cos = margin_ops.normalized_cosine(
         np.asarray(variables["params"]["face_kernel"], np.float32),
-        np.asarray(emb, np.float32), 1e-3)
+        np.asarray(emb, np.float32))
     want = float((np.argmax(np.asarray(cos), -1)
                   == np.asarray(batch["label"])).mean())
     assert float(metrics["acc"]) == pytest.approx(want)
@@ -216,6 +217,57 @@ def test_face_rec_eval_acc_is_margin_free(setup):
         jnp.asarray(kernel), jnp.asarray(e), jnp.asarray([[24.0]]),
         jnp.asarray([0]), margin_ops.MarginState.init(), update_stats=False)
     assert int(np.argmax(np.asarray(logits), -1)[0]) == 1
+
+
+def test_detection_eval_boxes_in_image_frame(setup):
+    """The combined model's YOLO runs on the adapter pseudo-image, so raw
+    decoded boxes are in ADAPTER pixels — the eval step must rescale them to
+    model-image pixels before the mAP hook compares them against gt scaled
+    by image_size (the round-4 convergence run scored mAP50 == 0 at every
+    epoch because of exactly this frame mismatch)."""
+    from prpe_tpu.nn.yolo import decode_predictions
+    from prpe_tpu.ops import nms as nms_ops
+    from prpe_tpu.data.packed import apply_image_norm
+    from prpe_tpu.train.steps import TASK_IMAGE_NORM
+
+    cfg, model, variables = setup
+    rng = np.random.default_rng(11)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.detection_batch(
+        rng, batch_size=2, image_size=128, max_gt=cfg.detection.max_gt).items()}
+    estep = make_eval_step(model, "person_detection", cfg)
+    _, det_step = estep(variables, batch)
+
+    # manual reference: same forward/decode/NMS in the adapter frame
+    img = apply_image_norm(batch["image"], TASK_IMAGE_NORM["person_detection"])
+    outs = model.apply(variables, img, "person", False, method="detect")
+    d = cfg.detection
+    manual = nms_ops.non_max_suppression(
+        decode_predictions(outs, d.num_classes, d.reg_max),
+        conf_threshold=d.conf_threshold, iou_threshold=d.iou_threshold,
+        max_det=d.max_det, pre_nms_top_k=d.pre_nms_top_k, max_wh=d.max_wh)
+    sx = batch["image"].shape[2] / d.adapter_size[1]
+    sy = batch["image"].shape[1] / d.adapter_size[0]
+    want = np.asarray(manual.boxes) * np.array([sx, sy, sx, sy], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(det_step.boxes), want, rtol=1e-5, atol=1e-4)
+
+
+def test_face_verification_hook():
+    """Well-separated embeddings -> ver_acc ~1; label-shuffled -> ~chance."""
+    from prpe_tpu.eval.verification import face_verification_hook
+
+    rng = np.random.default_rng(0)
+    n_cls, per = 8, 6
+    protos = rng.normal(size=(n_cls, 32))
+    protos /= np.linalg.norm(protos, axis=-1, keepdims=True)
+    emb = np.repeat(protos, per, 0) + rng.normal(0, 0.05, (n_cls * per, 32))
+    lab = np.repeat(np.arange(n_cls), per)
+    sh = rng.permutation(len(lab))
+    out = face_verification_hook()([(emb[sh], {"label": lab[sh]})])
+    assert out["ver_acc"] > 0.9
+    bad = face_verification_hook()(
+        [(rng.normal(size=emb.shape), {"label": lab})])
+    assert bad["ver_acc"] < 0.8
 
 
 def test_round_robin_end_to_end(setup, tmp_path):

@@ -74,7 +74,12 @@ def make_pose_split(root: pathlib.Path, split: str, n: int, size: int,
     ann_id = 1
     for i in range(n):
         img = rng.uniform(0, 0.25, (size, size, 3))
-        n_person = int(rng.integers(1, 3))
+        # exactly ONE person per pose image: the combined model's pose branch
+        # (like the reference's CustomVitPose fed the whole frame,
+        # modify_models.py:330-380) predicts a single 17-kpt skeleton per
+        # image, so multi-person scenes cap keypoint-AP recall at
+        # 1/persons-per-image no matter how well the model trains
+        n_person = 1
         for _ in range(n_person):
             bw = rng.uniform(0.25, 0.45) * size
             bh = rng.uniform(0.45, 0.7) * size
