@@ -128,6 +128,49 @@ class MHSA(nn.Module):
         return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares (and at apply time reads) exactly the parameters of an
+    ``nn.Dense`` with the same name — kernel (in, out) lecun_normal + bias
+    zeros — WITHOUT running the matmul. Lets the fused inference kernel
+    consume raw weight arrays while keeping the param tree byte-identical
+    to the module path (porting/checkpoints unaffected)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _MHSAParams(nn.Module):
+    """Param mirror of :class:`MHSA` (q/k/v/proj Dense weights)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        out = {}
+        for name in ("q", "k", "v", "proj"):
+            out[name] = _DenseParams(self.hidden, name=name)(self.hidden)
+        return out
+
+
+class _LNParams(nn.Module):
+    """Param mirror of ``nn.LayerNorm`` (scale ones + bias zeros)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones_init(), (features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (features,),
+                       jnp.float32)
+        return s, b
+
+
 class ViTBlock(nn.Module):
     hidden: int
     heads: int
@@ -135,13 +178,37 @@ class ViTBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         def ln(name):
             mod = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name=name)
             # materialize the normalized activations instead of letting XLA
             # fuse the fp32 LN reductions in as the GEMM's producer
             return lambda v: jax.lax.optimization_barrier(mod(v))
-        x = x + MHSA(self.hidden, self.heads, dtype=self.dtype, name="attn")(ln("ln1")(x))
+
+        import os
+
+        # PRPE_ATTN_MODE=pallas_lnfused: inference-only WHOLE-half-block
+        # Pallas kernel (LN1 -> q/k/v -> attention -> proj -> residual, one
+        # VMEM program per image, weights resident across the grid —
+        # ops/pallas/attention_kernel.py::fused_ln_mhsa). Training keeps the
+        # module path (the kernel has no VJP); param trees are identical via
+        # the _*Params mirrors.
+        fused = (not train
+                 and os.environ.get("PRPE_ATTN_MODE") == "pallas_lnfused")
+        if fused:
+            from prpe_tpu.ops.pallas.attention_kernel import fused_ln_mhsa
+
+            ls, lb = _LNParams(name="ln1")(self.hidden)
+            ap = _MHSAParams(self.hidden, name="attn")()
+            x = fused_ln_mhsa(
+                x.astype(self.dtype), ls, lb,
+                ap["q"][0], ap["q"][1], ap["k"][0], ap["k"][1],
+                ap["v"][0], ap["v"][1], ap["proj"][0], ap["proj"][1],
+                heads=self.heads,
+            )
+        else:
+            x = x + MHSA(self.hidden, self.heads, dtype=self.dtype,
+                         name="attn")(ln("ln1")(x))
         y = ln("ln2")(x)
         y = nn.Dense(self.hidden * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
         y = fast_gelu(y)
@@ -187,7 +254,7 @@ class ViTPoseBackbone(nn.Module):
 
         for i in range(self.layers):
             x = ViTBlock(self.hidden, self.heads, self.mlp_ratio, dtype=self.dtype,
-                         name=f"block{i}")(x)
+                         name=f"block{i}")(x, train)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln_final")(x)
         return x.reshape(b, gh, gw, self.hidden)
 

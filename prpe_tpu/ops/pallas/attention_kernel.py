@@ -112,6 +112,119 @@ def _mhsa_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float)
     o_ref[0] = jnp.concatenate(list(o), axis=-1)
 
 
+def _ln_mhsa_kernel(x_ref, g_ref, lb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                    wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
+                    *, heads: int, scale: float, eps: float):
+    """Whole attention half-block per program: LayerNorm -> q/k/v projections
+    -> multi-head attention -> output projection -> residual add, all in
+    VMEM. One program per image; the four (C, C) weight blocks have a
+    constant index_map so Mosaic keeps them resident across the whole grid
+    (fetched from HBM once, not per image). Eliminates the per-block HBM
+    round-trips of ln1(x), q, k, v and the attention output (~5 tensors x
+    (B, 192, 768) each way) that the separate-dispatch path pays.
+
+    VMEM at ViT-B geometry: 4 x 1.18 MB bf16 weights + (T, C) activations
+    ~0.3 MB each + (H, T, T) fp32 logits 1.7 MB ~= 8 MB of 16."""
+    x = x_ref[0]  # (T, C) input dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+
+    def dense(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    q = dense(wq_ref, bq_ref)
+    k = dense(wk_ref, bk_ref)
+    v = dense(wv_ref, bv_ref)
+    t, c = q.shape
+    d = c // heads
+    qs = jnp.stack([q[:, h * d:(h + 1) * d] for h in range(heads)])
+    ks = jnp.stack([k[:, h * d:(h + 1) * d] for h in range(heads)])
+    vs = jnp.stack([v[:, h * d:(h + 1) * d] for h in range(heads)])
+    s = jax.lax.dot_general(
+        qs, ks, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (H, T, T) fp32
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(x.dtype), vs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (H, T, D)
+    o = jnp.concatenate(list(o), axis=-1)  # (T, C)
+    y = jax.lax.dot_general(
+        o, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = x + y.astype(x.dtype)
+
+
+def _ln_mhsa_reference(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                       heads: int, eps: float):
+    """XLA path with the SAME semantics (fp32 LN stats + fp32 softmax) —
+    the off-TPU fallback and the parity oracle for tests."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps)
+          * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+          ).astype(x.dtype)
+    b_, t, c = x.shape
+    d = c // heads
+    dt = x.dtype
+    q = (xn @ wq.astype(dt) + bq.astype(dt)).reshape(b_, t, heads, d)
+    k = (xn @ wk.astype(dt) + bk.astype(dt)).reshape(b_, t, heads, d)
+    v = (xn @ wv.astype(dt) + bv.astype(dt)).reshape(b_, t, heads, d)
+    o = _attention_reference(q, k, v).reshape(b_, t, c)
+    return x + (o @ wo.astype(dt) + bo.astype(dt))
+
+
+def fused_ln_mhsa(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                  *, heads: int, eps: float = 1e-12,
+                  interpret: bool = False):
+    """Inference-only fused pre-LN attention half-block:
+    ``x + proj(attention(qkv(LN(x))))`` (nn/vit.py ViTBlock's first half).
+
+    INFERENCE ONLY — no custom VJP; the training path keeps the separate
+    LN/Dense/attention modules (ViTBlock gates on ``train``). Falls back to
+    the XLA reference off-TPU. Weights arrive as the fp32 flax params and
+    are cast to ``x.dtype`` here, outside the kernel, so VMEM holds the
+    bf16 copies."""
+    b, t, c = x.shape
+    if (not interpret and jax.default_backend() != "tpu") or t > MAX_PALLAS_T:
+        return _ln_mhsa_reference(x, ln_scale, ln_bias, wq, bq, wk, bk,
+                                  wv, bv, wo, bo, heads, eps)
+    dt = x.dtype
+    row = lambda a: a.reshape(1, -1)
+    spec_x = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    d = c // heads
+    return pl.pallas_call(
+        functools.partial(_ln_mhsa_kernel, heads=heads, scale=d ** -0.5,
+                          eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), dt),
+        grid=(b,),
+        in_specs=[spec_x, spec_v, spec_v,
+                  spec_w, spec_v, spec_w, spec_v, spec_w, spec_v,
+                  spec_w, spec_v],
+        out_specs=spec_x,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
+    )(x, row(ln_scale), row(ln_bias),
+      wq.astype(dt), row(bq), wk.astype(dt), row(bk), wv.astype(dt), row(bv),
+      wo.astype(dt), row(bo))
+
+
 def _attention_reference(q, k, v):
     """The einsum path (nn/vit.py MHSA semantics): fp32 logits + softmax."""
     d = q.shape[-1]

@@ -23,7 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODES = ["einsum", "einsum_bf16sm", "pallas", "pallas_unrolled", "pallas_bh",
-         "pallas_packed"]
+         "pallas_packed", "pallas_lnfused"]
 
 
 def run_one(mode: str, batch: int = 128, iters: int = 10) -> None:

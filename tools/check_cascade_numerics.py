@@ -20,6 +20,7 @@ import json
 import os
 import pathlib
 import sys
+from functools import partial
 
 import numpy as np
 
@@ -154,7 +155,8 @@ def _greedy_match(boxes_a, boxes_b, thr: float = 0.6):
 
 
 def check_bf16(n_scenes: int = 100, batch: int = 4,
-               person_ckpt: str = None, face_ckpt: str = None) -> None:
+               person_ckpt: str = None, face_ckpt: str = None,
+               pose_crops: int = 128) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -177,6 +179,7 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
 
     results = {}
     runners = {}
+    cascade_models = {}
     for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         model = CascadeModel(detection=DetectionConfig(), pose_cfg=PoseConfig(),
                              dtype=dtype)
@@ -208,6 +211,7 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
                         jnp.asarray, restored["batch_stats"])
         runners[name] = (build_cascade_runner(model, ccfg, pose_capacity=batch),
                          variables)
+        cascade_models[name] = model
 
     gallery = jax.random.normal(jax.random.key(2), (16, 512))
     gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True)
@@ -226,6 +230,13 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
     sim_drift = [0.0]
     kp_drift = [0.0]
     kp_drift_tight = [0.0]
+    # non-tight matched-person diagnostics: when bf16's NMS keeps a
+    # DIFFERENT near-tied candidate box of the same object, the "drift" is
+    # selection churn, not coordinate error — the score gap tells them apart
+    non_tight = []  # (box_drift_px, |score_fp32 - score_bf16|, iou)
+    # same-crop pose leg: (image, fp32 person box) pairs re-cropped once and
+    # run through BOTH dtype ViTPose stages — pure pose numerics at scale
+    crop_bank = []  # (img_array, box)
     for start in range(0, n_scenes, batch):
         imgs = np.stack([
             _make_scene(rng, 640).astype(np.float32) / 255.0
@@ -242,16 +253,28 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
             ia = np.where(a.persons.valid[img])[0]
             ib = np.where(b.persons.valid[img])[0]
             person_total += len(ia)
+            # bank up to 2 fp32 person crops per image for the same-crop leg
+            if len(crop_bank) < pose_crops:
+                for s in ia[:2]:
+                    crop_bank.append((imgs[img], a.persons.boxes[img, int(s)]))
             pairs = _greedy_match(a.persons.boxes[img][ia],
                                   b.persons.boxes[img][ib])
             person_matched += len(pairs)
             img_marginal = bool((a.faces.valid[img]
                                  & (np.abs(a.face_similarity[img] - thr)
                                     <= eps)).any())
-            for pi, pj, _ in pairs:
+            for pi, pj, pair_iou in pairs:
                 sa, sb = int(ia[pi]), int(ib[pj])
-                box_drift.append(float(np.abs(
-                    a.persons.boxes[img, sa] - b.persons.boxes[img, sb]).max()))
+                bd = float(np.abs(
+                    a.persons.boxes[img, sa] - b.persons.boxes[img, sb]).max())
+                box_drift.append(bd)
+                if bd >= 1.0:
+                    non_tight.append((
+                        bd,
+                        float(abs(a.persons.scores[img, sa]
+                                  - b.persons.scores[img, sb])),
+                        float(pair_iou),
+                    ))
                 gate_pairs += 1
                 flip = bool(a.person_gated[img, sa] != b.person_gated[img, sb])
                 gate_flips += int(flip)
@@ -297,6 +320,68 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
                 pose_pairs_tight += 1
                 kp_drift_tight.append(d)
 
+    # ---- same-crop pose leg: identical fp32 crops through both dtypes ----
+    # In-cascade "tight" pairs (<1px person-box agreement across dtypes) are
+    # rare by construction: bf16 DFL box decode quantizes coordinates at
+    # ~1-2px@640, so matched boxes typically differ by a few px and the crop
+    # contents shift. Re-cropping each fp32 person box ONCE and running the
+    # SAME crop through the fp32 and bf16 ViTPose stages isolates the pose
+    # numerics with a sample size set by --pose-crops, not by NMS luck.
+    same_crop_drift = [0.0]
+    n_bank = len(crop_bank)
+    if crop_bank:
+        import jax
+        import jax.numpy as jnp
+
+        from prpe_tpu.infer.cascade import IMAGENET_MEAN, IMAGENET_STD
+        from prpe_tpu.ops.heatmap import decode_heatmaps
+        from prpe_tpu.ops.roi import crop_and_resize_batch
+
+        from prpe_tpu.core.config import PoseConfig
+
+        ph, pw = PoseConfig().input_size
+        cb = 16  # crop batch
+        # pad the bank to a multiple of the batch (repeat last entry)
+        while len(crop_bank) % cb:
+            crop_bank.append(crop_bank[-1])
+
+        @jax.jit
+        def _crop(images, boxes):
+            crops = crop_and_resize_batch(
+                images, boxes, jnp.arange(boxes.shape[0]), (ph, pw))
+            return (crops - IMAGENET_MEAN) / IMAGENET_STD
+
+        pose_fns = {}
+        for name in ("fp32", "bf16"):
+            variables = runners[name][1]
+            model = cascade_models[name]
+            dt = jnp.bfloat16 if name == "bf16" else jnp.float32
+
+            @partial(jax.jit, static_argnames=())
+            def _fn(crops, variables=variables, model=model, dt=dt):
+                hm = model.apply(variables, crops.astype(dt), method="pose")
+                c, _ = decode_heatmaps(jnp.asarray(hm, jnp.float32))
+                return c
+
+            pose_fns[name] = _fn
+
+        def _pose(name, crops):
+            return np.asarray(pose_fns[name](crops))
+
+        for s in range(0, len(crop_bank), cb):
+            chunk = crop_bank[s:s + cb]
+            images = jnp.asarray(np.stack([c[0] for c in chunk]))
+            boxes = jnp.asarray(np.stack([c[1] for c in chunk]))
+            crops = _crop(images, boxes)
+            ca = _pose("fp32", crops)
+            cbf = _pose("bf16", crops)
+            bwh = np.stack([boxes[:, 2] - boxes[:, 0],
+                            boxes[:, 3] - boxes[:, 1]], -1)
+            # normalized-crop drift -> image pixels through the source box
+            d = np.abs(ca - cbf) * np.asarray(bwh)[:, None, :]
+            same_crop_drift += [float(x) for x in d.reshape(len(chunk), -1).max(-1)]
+        same_crop_drift = same_crop_drift[:1 + n_bank]  # drop pad duplicates
+
     out = {
         "scenes": n_scenes,
         "person_detections_fp32": person_total,
@@ -316,9 +401,28 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
         # (infer/cascade.py:244-252)
         "pose_pairs": pose_pairs,
         "keypoint_drift_maxabs_px640": float(max(kp_drift)),
-        # pairs whose person box agrees to <1px — same crop, pure numerics
+        # pairs whose person box agrees to <1px — same crop, pure numerics.
+        # Rare by construction (bf16 DFL decode quantizes boxes at ~1-2px);
+        # the same-crop leg below is the statistically meaningful bound.
         "pose_pairs_tight": pose_pairs_tight,
         "keypoint_drift_tight_maxabs_px640": float(max(kp_drift_tight)),
+        # same-crop leg: every banked fp32 person box re-cropped once, the
+        # IDENTICAL crop through fp32 and bf16 ViTPose — pure pose numerics
+        "pose_same_crop_pairs": len(same_crop_drift) - 1,
+        "keypoint_drift_same_crop_maxabs_px640": float(max(same_crop_drift)),
+        "keypoint_drift_same_crop_p99_px640": float(
+            np.percentile(same_crop_drift, 99)) if len(same_crop_drift) > 1 else 0.0,
+        # non-tight matched persons: box drift vs NMS score gap. Score gaps
+        # within bf16 rounding (~0.004 relative) with multi-px box deltas
+        # mean bf16 NMS kept a DIFFERENT near-tied candidate of the same
+        # object — selection churn among near-ties, not coordinate error
+        "non_tight_pairs": len(non_tight),
+        "non_tight_box_drift_max_px": float(max((t[0] for t in non_tight),
+                                                default=0.0)),
+        "non_tight_score_gap_max": float(max((t[1] for t in non_tight),
+                                             default=0.0)),
+        "non_tight_iou_min": float(min((t[2] for t in non_tight),
+                                       default=1.0)),
     }
     # pass/fail tied to the BASELINE.md ±0.5% accuracy-parity north star:
     # bf16 serving may flip at most 0.5% of CLEAR-MARGIN gate decisions vs
@@ -331,19 +435,23 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
     out["criteria"] = {
         "clear_gate_flip_rate_max": 0.005,
         "identity_flip_rate_max": 0.005,
-        "tight_keypoint_drift_px640_max": 3.2,
+        "same_crop_keypoint_drift_px640_max": 3.2,
+        "same_crop_pairs_min": 50,
         "detection_match_rate_min": 0.95,
         "non_vacuous": "person/face/pose comparisons must be non-empty",
     }
     # a comparison that compared nothing must not pass (the vacuous-pass
-    # failure mode of the first round-4 run)
+    # failure mode of the first round-4 run). The keypoint bound is judged
+    # on the same-crop leg (>=50 pairs required); the in-cascade tight pairs
+    # stay reported but no longer gate the verdict (n was 1 in round 4).
     out["pass"] = bool(
-        person_total > 0 and face_clear > 0 and pose_pairs_tight > 0
+        person_total > 0 and face_clear > 0 and pose_pairs > 0
+        and out["pose_same_crop_pairs"] >= 50
         and out["person_detection_match_rate"] >= 0.95
         and out["face_detection_match_rate"] >= 0.95
         and gate_flips_clear <= 0.005 * max(gate_pairs_clear, 1)
         and id_flips <= 0.005 * max(face_clear, 1)
-        and float(max(kp_drift_tight)) <= 3.2
+        and out["keypoint_drift_same_crop_maxabs_px640"] <= 3.2
     )
     _report("cascade_fp32_vs_bf16", out)
 
@@ -360,9 +468,12 @@ if __name__ == "__main__":
                          "detector (trained weights make cross-dtype NMS "
                          "selection stable)")
     ap.add_argument("--face-ckpt", default=None)
+    ap.add_argument("--pose-crops", type=int, default=128,
+                    help="same-crop pose-leg sample size (fp32 person boxes "
+                         "re-cropped once, run through both dtype ViTPose)")
     a = ap.parse_args()
     if a.cmd == "twins":
         check_twins()
     else:
         check_bf16(n_scenes=a.scenes, person_ckpt=a.person_ckpt,
-                   face_ckpt=a.face_ckpt)
+                   face_ckpt=a.face_ckpt, pose_crops=a.pose_crops)
