@@ -19,7 +19,14 @@ def enable_compile_cache() -> str:
     import jax
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cache = os.path.join(root, ".cache", "jax")
+    # PER-PLATFORM cache dir: an axon/TPU process routes compiles through the
+    # remote compile service, which can also serve that process's host-side
+    # CPU executables — AOT blobs built for the SERVICE machine's CPU. If
+    # those land in the same dir the CPU test suite reads, every cache hit
+    # fails with "machine feature +prefer-no-gather is not supported"
+    # (observed round 5). Keying the dir by JAX_PLATFORMS isolates them.
+    plat = (os.environ.get("JAX_PLATFORMS") or "device").split(",")[0] or "device"
+    cache = os.path.join(root, ".cache", f"jax-{plat}")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

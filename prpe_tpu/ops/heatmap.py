@@ -121,8 +121,25 @@ def decode_heatmaps(
     boxes: Optional[jnp.ndarray] = None,
     *,
     nominal_scale: float = 96.0,
+    method: str = "argmax",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Soft-argmax (UDP-style) keypoint decode.
+    """Keypoint decode from raw predicted heatmaps.
+
+    ``method="argmax"`` (default — the CORRECTED decode): hard argmax plus
+    the classic quarter-pixel shift toward the higher neighbor. Amplitude-
+    invariant: an MSE-trained heatmap (Gaussian peak ~1.0 on ~0 background)
+    decodes to its peak regardless of its dynamic range.
+
+    ``method="soft"`` (reference parity + differentiable, used by the OKS
+    loss term): softmax expectation over the FULL map, transcribing the
+    reference's `_get_keypoints_from_heatmaps`
+    (pose_estimation/module.py:237-296). Reference quirk, reproduced then
+    corrected: softmax over H*W cells of a unit-amplitude heatmap is nearly
+    uniform (exp(1) vs 3071*exp(0) at 64x48), so the expectation collapses
+    toward the image CENTER however well the heatmaps fit — observed at full
+    scale as pose pck_px frozen at ~0.06 while heatmap MSE fell to 1e-4
+    (runs/r5_round_robin_convergence first attempt). Eval/serving therefore
+    default to "argmax".
 
     Args:
       heatmaps: (B, K, H, W) raw predicted heatmaps (logits).
@@ -130,17 +147,35 @@ def decode_heatmaps(
 
     Returns:
       coords: (B, K, 2) normalized [0, 1] (x, y).
-      scores: (B, K) max softmax probability (optionally scale-weighted).
+      scores: (B, K) max softmax probability (optionally scale-weighted) —
+        the reference's score semantic under both methods.
     """
     b, k, h, w = heatmaps.shape
     flat = heatmaps.reshape(b, k, h * w)
     prob = jax.nn.softmax(flat, axis=-1)
 
-    xs = jnp.arange(w, dtype=heatmaps.dtype)
-    ys = jnp.arange(h, dtype=heatmaps.dtype)
-    probhw = prob.reshape(b, k, h, w)
-    x_exp = jnp.einsum("bkhw,w->bk", probhw, xs) + 0.5
-    y_exp = jnp.einsum("bkhw,h->bk", probhw, ys) + 0.5
+    if method == "soft":
+        xs = jnp.arange(w, dtype=heatmaps.dtype)
+        ys = jnp.arange(h, dtype=heatmaps.dtype)
+        probhw = prob.reshape(b, k, h, w)
+        x_exp = jnp.einsum("bkhw,w->bk", probhw, xs) + 0.5
+        y_exp = jnp.einsum("bkhw,h->bk", probhw, ys) + 0.5
+    elif method == "argmax":
+        idx = jnp.argmax(flat, axis=-1)
+        iy = (idx // w).astype(jnp.float32)
+        ix = (idx % w).astype(jnp.float32)
+
+        def at(dx, dy):
+            xx = jnp.clip(ix + dx, 0, w - 1)
+            yy = jnp.clip(iy + dy, 0, h - 1)
+            lin = (yy * w + xx).astype(jnp.int32)
+            return jnp.take_along_axis(flat, lin[..., None], axis=-1)[..., 0]
+
+        # quarter-pixel shift toward the larger horizontal/vertical neighbor
+        x_exp = ix + 0.5 + 0.25 * jnp.sign(at(1, 0) - at(-1, 0))
+        y_exp = iy + 0.5 + 0.25 * jnp.sign(at(0, 1) - at(0, -1))
+    else:
+        raise ValueError(method)
     coords = jnp.stack([x_exp / w, y_exp / h], axis=-1)
 
     scores = prob.max(axis=-1)

@@ -166,12 +166,19 @@ def make_loss_fn(model, task: str, cfg: CombinedModelConfig) -> Callable:
             )
             total = hm_loss
             metrics = {"heatmap_loss": hm_loss}
+            # metrics decode: amplitude-invariant argmax (the soft decode is
+            # center-biased on unit-amplitude maps — see ops/heatmap.py)
             pred_coords, pred_scores = heatmap_ops.decode_heatmaps(
                 pred_hm, boxes=batch["boxes"][:, 0]
             )
             if pose.use_oks_loss:
+                # the OKS loss TERM needs d(coords)/d(heatmap): use the
+                # differentiable soft decode (reference parity) here only
+                soft_coords, _ = heatmap_ops.decode_heatmaps(
+                    pred_hm, boxes=batch["boxes"][:, 0], method="soft"
+                )
                 ol = L.oks_loss(
-                    pred_coords, coords[:, 0], vis[:, 0], batch["areas"][:, 0],
+                    soft_coords, coords[:, 0], vis[:, 0], batch["areas"][:, 0],
                     loss_weight=pose.oks_loss_weight,
                 )
                 total = total + ol

@@ -54,7 +54,7 @@ jax.config.update("jax_platforms", "cpu")
 # __graft_entry__.dryrun_multichip so the suite pre-warms the driver's
 # multi-chip dryrun.
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".cache", "jax")
+                      ".cache", "jax-cpu")
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

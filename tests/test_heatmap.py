@@ -64,14 +64,42 @@ def test_decode_recovers_peak(rng):
     heat, _ = heatmap.generate_target_heatmaps(
         jnp.asarray(kp), jnp.asarray(vis), None, heatmap_size=(64, 48), sigma=1.5
     )
-    # decode treats input as logits -> feed scaled log-probabilities
+    # the soft (reference-parity) decode treats input as logits and needs
+    # log-probabilities to be amplitude-calibrated
     logits = jnp.log(heat + 1e-12) * 1.0
-    coords, scores = heatmap.decode_heatmaps(logits)
+    coords, scores = heatmap.decode_heatmaps(logits, method="soft")
     # soft-argmax of a symmetric gaussian ~ its center (within a pixel)
     got = np.asarray(coords[0])
     np.testing.assert_allclose(got[:, 0], kp[0, 0, :, 0], atol=1.5 / 48)
     np.testing.assert_allclose(got[:, 1], kp[0, 0, :, 1], atol=1.5 / 64)
     assert np.all(np.asarray(scores) > 0)
+
+
+def test_argmax_decode_is_amplitude_invariant(rng):
+    """The default (argmax) decode recovers the peak from a RAW MSE-style
+    target (Gaussian amplitude 1.0 on ~0 background) — exactly the case
+    where the reference's softmax-expectation decode collapses toward the
+    image center (pose_estimation/module.py:237-296 quirk; see
+    ops/heatmap.py docstring)."""
+    kp = np.zeros((1, 1, 17, 2), np.float32)
+    kp[..., 0] = np.linspace(0.15, 0.85, 17)
+    kp[..., 1] = np.linspace(0.25, 0.75, 17)
+    vis = np.full((1, 1, 17), 2.0, np.float32)
+    heat, _ = heatmap.generate_target_heatmaps(
+        jnp.asarray(kp), jnp.asarray(vis), None, heatmap_size=(64, 48), sigma=1.5
+    )
+    got = np.asarray(heatmap.decode_heatmaps(heat)[0][0])
+    np.testing.assert_allclose(got[:, 0], kp[0, 0, :, 0], atol=1.5 / 48)
+    np.testing.assert_allclose(got[:, 1], kp[0, 0, :, 1], atol=1.5 / 64)
+
+    # ... and the same decode is invariant to amplitude scaling
+    got4 = np.asarray(heatmap.decode_heatmaps(heat * 0.25)[0][0])
+    np.testing.assert_allclose(got4, got, atol=1e-6)
+
+    # the soft decode on the raw map demonstrates the quirk: pulled to center
+    soft = np.asarray(
+        heatmap.decode_heatmaps(heat, method="soft")[0][0])
+    assert np.abs(soft - 0.5).max() < 0.05
 
 
 def test_decode_box_scale_weighting():
