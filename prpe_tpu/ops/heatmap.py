@@ -47,8 +47,25 @@ def generate_target_heatmaps(
     sigma: float = 2.0,
     nominal_scale: float = 96.0,
     threshold: float = 0.005,
+    normalize: str = "peak",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-instance Gaussian heatmap targets, max-combined across instances.
+
+    ``normalize="peak"`` (default — the published top-down convention,
+    SimpleBaselines/HRNet/ViTPose): raw ``exp(-d^2/2s^2)`` Gaussians, peak
+    amplitude 1.0.
+
+    ``normalize="sum"`` (reference parity): the reference divides each
+    channel by its SUM and then zeroes values under 0.005
+    (module.py:374-379). At the adaptive sigma of a typical person
+    (sigma~4) that leaves a peak of ~1/(2*pi*sigma^2) ~= 0.01 — an MSE
+    training signal ~1e4 weaker than the peak-1 convention. Fine when
+    fine-tuning a PRETRAINED ViTPose (the reference's only use); training
+    the pose branch from scratch against these targets was observed to
+    shrink output amplitude toward zero without ever forming peaks
+    (runs/r5 convergence attempts: val heatmap MSE 1000x the all-zeros
+    baseline after 2 epochs while argmax-decoded pck fell). Reference
+    quirk #4, reproduced (as an option) then corrected (as the default).
 
     Args:
       keypoints: (B, N, K, 2) normalized [0, 1] (x, y) coordinates, padded to
@@ -58,10 +75,11 @@ def generate_target_heatmaps(
       heatmap_size: (H, W).
       sigma: base Gaussian sigma (pixels in heatmap space).
       nominal_scale: sqrt-area that maps to sigma exactly (reference uses 96).
-      threshold: post-normalization noise floor (reference uses 0.005).
+      threshold: post-normalization noise floor (reference uses 0.005;
+        applied only under ``normalize="sum"``).
 
     Returns:
-      heatmaps: (B, K, H, W) sum-normalized target distributions.
+      heatmaps: (B, K, H, W) target heatmaps.
       weights: (B, K) — 1.0 where any instance has vis==2, else 0.5 where any
         instance with >=1 visible keypoint exists, else 0 (exact reference
         semantics including its vis==0 -> 0.5 quirk at module.py:369-372).
@@ -111,8 +129,11 @@ def generate_target_heatmaps(
         ),
     )
 
-    heatmaps = heatmaps / (heatmaps.sum(axis=(2, 3), keepdims=True) + 1e-8)
-    heatmaps = jnp.where(heatmaps > threshold, heatmaps, 0.0)
+    if normalize == "sum":
+        heatmaps = heatmaps / (heatmaps.sum(axis=(2, 3), keepdims=True) + 1e-8)
+        heatmaps = jnp.where(heatmaps > threshold, heatmaps, 0.0)
+    elif normalize != "peak":
+        raise ValueError(normalize)
     return heatmaps, weights
 
 

@@ -45,14 +45,50 @@ def make_batch(rng, B=2, N=3, K=17):
 
 
 def test_targets_match_naive(rng):
+    """normalize="sum" reproduces the reference's sum-normalize + 0.005
+    threshold exactly (the naive loop transcribes module.py:298-380)."""
+    kp, vis, areas = make_batch(rng)
+    got_h, got_w = heatmap.generate_target_heatmaps(
+        jnp.asarray(kp), jnp.asarray(vis), jnp.asarray(areas),
+        heatmap_size=(64, 48), sigma=2.0, normalize="sum",
+    )
+    want_h, want_w = naive_targets(kp, vis, areas, (64, 48))
+    np.testing.assert_allclose(np.asarray(got_h), want_h, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), want_w)
+
+
+def test_targets_peak_normalization(rng):
+    """The default (peak) targets are the same Gaussians WITHOUT the
+    reference's sum-normalization: amplitude 1.0 at each visible keypoint
+    (the published top-down convention — see generate_target_heatmaps
+    docstring for why the sum-normalized variant starves from-scratch
+    training)."""
     kp, vis, areas = make_batch(rng)
     got_h, got_w = heatmap.generate_target_heatmaps(
         jnp.asarray(kp), jnp.asarray(vis), jnp.asarray(areas),
         heatmap_size=(64, 48), sigma=2.0,
     )
-    want_h, want_w = naive_targets(kp, vis, areas, (64, 48))
-    np.testing.assert_allclose(np.asarray(got_h), want_h, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(got_w), want_w)
+    got_h = np.asarray(got_h)
+    assert abs(got_h.max() - 1.0) < 1e-3  # peak amplitude ~1 at a keypoint
+    # identical shape to the naive (un-normalized) Gaussians
+    B, N, K, _ = kp.shape
+    H, W = 64, 48
+    ys, xs = np.mgrid[0:H, 0:W]
+    kpx = kp.copy()
+    kpx[..., 0] = kpx[..., 0] * W - 0.5
+    kpx[..., 1] = kpx[..., 1] * H - 0.5
+    sig = 2.0 * np.clip(np.sqrt(areas) / 96.0, 0.5, 2.0)
+    want = np.zeros((B, K, H, W))
+    for b in range(B):
+        for n in range(N):
+            if not (vis[b, n] > 0).any():
+                continue
+            for k in range(K):
+                g = np.exp(-((xs - kpx[b, n, k, 0]) ** 2
+                             + (ys - kpx[b, n, k, 1]) ** 2)
+                           / (2 * sig[b, n] ** 2)) * (vis[b, n, k] > 0)
+                want[b, k] = np.maximum(want[b, k], g)
+    np.testing.assert_allclose(got_h, want, rtol=1e-4, atol=1e-6)
 
 
 def test_decode_recovers_peak(rng):
