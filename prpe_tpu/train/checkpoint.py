@@ -40,6 +40,32 @@ class CheckpointManager:
         if wait is not None:
             wait()
 
+    def _clear_slot(self, name: str):
+        """Remove the destination dir AND any orbax staging leftovers for
+        ``name``. A SIGKILL mid-save leaves ``<name>.orbax-checkpoint-tmp*``
+        (and sometimes a half-committed destination); the next save of the
+        same slot then dies in orbax's rename ("Cannot rename ...tmp.
+        Destination exists" / "Destination already exists") — both observed
+        as real resume crashes in runs/r5_round_robin_convergence
+        phase2_resume{,1}.log. Every save goes through here first."""
+        for p in [*self.dir.glob(name),
+                  *self.dir.glob(name + ".orbax-checkpoint-tmp*")]:
+            if p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+
+    def _save_slot(self, name: str, payload) -> None:
+        """Save with stale-state clearing + one clear-and-retry."""
+        self._wait()  # drain any in-flight commit before touching the slot
+        self._clear_slot(name)
+        path = self.dir / name
+        try:
+            self._ckpt.save(path, payload)
+            self._wait()
+        except (ValueError, FileExistsError, OSError):
+            self._clear_slot(name)
+            self._ckpt.save(path, payload)
+            self._wait()
+
     # ----------------------------------------------------------------- #
     def _meta(self) -> Dict[str, Any]:
         if self._meta_path.exists():
@@ -59,10 +85,7 @@ class CheckpointManager:
     ) -> str:
         name = f"epoch{epoch:04d}_{last_task}"
         path = self.dir / name
-        if path.exists():
-            shutil.rmtree(path)
-        self._ckpt.save(path, jax.device_get(state))
-        self._wait()
+        self._save_slot(name, jax.device_get(state))
         meta = self._meta()
         meta["checkpoints"].append(
             {"name": name, "epoch": epoch, "last_task": last_task,
@@ -99,13 +122,9 @@ class CheckpointManager:
         )
         if better:
             name = f"best_{task}"
-            path = self.dir / name
-            if path.exists():
-                shutil.rmtree(path)
             payload = {"params": jax.device_get(state.params),
                        "batch_stats": jax.device_get(state.batch_stats)}
-            self._ckpt.save(path, payload)
-            self._wait()
+            self._save_slot(name, payload)
             meta["best"][task] = {"value": float(value), "monitor": monitor,
                                   "epoch": epoch, "name": name, "slim": True}
             self._write_meta(meta)

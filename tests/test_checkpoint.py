@@ -104,3 +104,33 @@ def test_has_restorable_false_when_only_tmp_dirs(tmp_path):
 def test_empty_dir_not_restorable(tmp_path):
     mgr = CheckpointManager(str(tmp_path), keep=3)
     assert not mgr.has_restorable()
+
+
+def test_best_save_survives_stale_staging_dirs(tmp_path):
+    """A SIGKILL mid-save leaves ``best_<task>.orbax-checkpoint-tmp*`` and
+    sometimes a half-committed destination; the next ``update_best``/``save``
+    of the same slot must clear them instead of dying in orbax's rename
+    ("Cannot rename ...tmp. Destination exists" / "Destination already
+    exists" — the two real resume crashes in
+    runs/r5_round_robin_convergence/phase2_resume{,1}.log)."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    state = tiny_state(1.0)
+
+    # fabricate the torn state: stale staging dir + stale destination dir
+    for name in ("best_person_detection",
+                 "best_person_detection.orbax-checkpoint-tmp-123",
+                 "epoch0000_person_detection",
+                 "epoch0000_person_detection.orbax-checkpoint-tmp-9"):
+        d = tmp_path / "ckpt" / name
+        d.mkdir(parents=True)
+        (d / "junk").write_text("torn")
+
+    assert mgr.update_best("person_detection", "val_loss", 0.5, "min",
+                           state, epoch=0)
+    mgr.save(state, 0, "person_detection")
+
+    restored, entry = mgr.restore(tiny_state(0.0))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.asarray(state.params["w"]))
+    # no staging leftovers survive
+    assert not list((tmp_path / "ckpt").glob("*tmp*"))
