@@ -356,6 +356,11 @@ def main(argv=None):
                 fn = task_loaders.get(key)
                 if fn is not None and hasattr(fn, "close"):
                     fn.close()
+                if fn is not None and hasattr(fn, "stats"):
+                    s = fn.stats
+                    print(f"[device-resident] {key} staging stats: "
+                          f"fresh_epochs={s.get('fresh_epochs')} "
+                          f"stale_epochs={s.get('stale_epochs')}", flush=True)
     return 0
 
 
