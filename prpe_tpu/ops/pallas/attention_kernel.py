@@ -125,7 +125,9 @@ def _ln_mhsa_kernel(x_ref, g_ref, lb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     VMEM at ViT-B geometry: 4 x 1.18 MB bf16 weights + (T, C) activations
     ~0.3 MB each + (H, T, T) fp32 logits 1.7 MB ~= 8 MB of 16."""
-    x = x_ref[0]  # (T, C) input dtype
+    ipb, t, c = x_ref.shape  # images per block, tokens, channels
+    d = c // heads
+    x = x_ref[...].reshape(ipb * t, c)  # (IPB*T, C) input dtype
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, -1, keepdims=True)
     xc = xf - mu
@@ -134,36 +136,38 @@ def _ln_mhsa_kernel(x_ref, g_ref, lb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     xn = xn * g_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
     xn = xn.astype(x.dtype)
 
-    def dense(w_ref, b_ref):
+    def dense(inp, w_ref, b_ref):
         y = jax.lax.dot_general(
-            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            inp, w_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return (y + b_ref[0].astype(jnp.float32)).astype(x.dtype)
 
-    q = dense(wq_ref, bq_ref)
-    k = dense(wk_ref, bk_ref)
-    v = dense(wv_ref, bv_ref)
-    t, c = q.shape
-    d = c // heads
-    qs = jnp.stack([q[:, h * d:(h + 1) * d] for h in range(heads)])
-    ks = jnp.stack([k[:, h * d:(h + 1) * d] for h in range(heads)])
-    vs = jnp.stack([v[:, h * d:(h + 1) * d] for h in range(heads)])
-    s = jax.lax.dot_general(
-        qs, ks, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (H, T, T) fp32
-    p = jax.nn.softmax(s, axis=-1)
-    o = jax.lax.dot_general(
-        p.astype(x.dtype), vs, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)  # (H, T, D)
-    o = jnp.concatenate(list(o), axis=-1)  # (T, C)
-    y = jax.lax.dot_general(
-        o, wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0].astype(jnp.float32)
-    o_ref[0] = x + y.astype(x.dtype)
+    # projections at M = IPB*T — IPB > 1 keeps the MXU rows full (M=192
+    # alone measured the kernel GEMMs slower than XLA's all-batch GEMMs,
+    # a wash end-to-end)
+    q = dense(xn, wq_ref, bq_ref)
+    k = dense(xn, wk_ref, bk_ref)
+    v = dense(xn, wv_ref, bv_ref)
+    outs = []
+    for i in range(ipb):  # attention per image: (T, T) logits stay small
+        sl = slice(i * t, (i + 1) * t)
+        qs = jnp.stack([q[sl, h * d:(h + 1) * d] for h in range(heads)])
+        ks = jnp.stack([k[sl, h * d:(h + 1) * d] for h in range(heads)])
+        vs = jnp.stack([v[sl, h * d:(h + 1) * d] for h in range(heads)])
+        s = jax.lax.dot_general(
+            qs, ks, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (H, T, T) fp32
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), vs, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # (H, T, D)
+        outs.append(jnp.concatenate(list(o), axis=-1))  # (T, C)
+    o = jnp.concatenate(outs, axis=0)  # (IPB*T, C)
+    y = dense(o, wo_ref, bo_ref)
+    o_ref[...] = (x + y).reshape(ipb, t, c)
 
 
 def _ln_mhsa_reference(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
@@ -203,7 +207,11 @@ def fused_ln_mhsa(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
                                   wv, bv, wo, bo, heads, eps)
     dt = x.dtype
     row = lambda a: a.reshape(1, -1)
-    spec_x = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+    # images per program: M = ipb*T keeps the in-kernel GEMM rows full
+    # (ipb=1's M=192 GEMMs measured slower than XLA's all-batch GEMMs);
+    # bounded by VMEM — 4 images of ViT-B geometry ~= 13 MB with weights
+    ipb = next((n for n in (4, 2, 1) if b % n == 0), 1)
+    spec_x = pl.BlockSpec((ipb, t, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     spec_v = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -212,7 +220,7 @@ def fused_ln_mhsa(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
         functools.partial(_ln_mhsa_kernel, heads=heads, scale=d ** -0.5,
                           eps=eps),
         out_shape=jax.ShapeDtypeStruct((b, t, c), dt),
-        grid=(b,),
+        grid=(b // ipb,),
         in_specs=[spec_x, spec_v, spec_v,
                   spec_w, spec_v, spec_w, spec_v, spec_w, spec_v,
                   spec_w, spec_v],
