@@ -165,7 +165,11 @@ def main(argv=None):
                                   pose_capacity=pose_capacity)
 
     # serve bf16 pixels: skips the on-device fp32->bf16 retile of the 640^2
-    # batch (crop coordinate math stays fp32 inside prpe_tpu/ops/roi.py)
+    # batch (crop coordinate math stays fp32 inside prpe_tpu/ops/roi.py).
+    # Measured-and-rejected round 5: raw uint8 input (the packed disk
+    # format) benches 1205 vs 1233 img/s — the fused /255 cast+retile costs
+    # more device time than bf16's 1.2 ms entry-layout copy; uint8 remains
+    # the right choice for the HOST->DEVICE link, not for device residency.
     images = jax.random.uniform(
         jax.random.key(1), (batch, image_size, image_size, 3)
     ).astype(dtype)
