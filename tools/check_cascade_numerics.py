@@ -164,7 +164,38 @@ def check_bf16(n_scenes: int = 100, batch: int = 4,
     from prpe_tpu.infer.cascade import CascadeModel, build_cascade_runner
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-    from bench_io import _make_scene  # synthetic scenes with detections
+    from bench_io import _make_scene as _make_scene_plain  # noqa: F401
+    from make_synthetic_multitask_data import _KP_COLORS, _SKELETON
+
+    def _make_scene(rng, size):
+        """bench_io's person/face rectangles PLUS a colored-dot skeleton in
+        each person box — the pose checkpoint's training distribution
+        (tools/make_numerics_pose_ckpt.py). Without the dots, crops contain
+        no keypoint signal, heatmaps have no peaks, and the cross-dtype
+        argmax comparison is noise-vs-noise (measured 116 px of vacuity
+        even with trained weights)."""
+        img = (rng.random((size, size, 3)) * 60).astype(np.uint8)
+        for _ in range(rng.integers(1, 4)):
+            x, y = rng.integers(0, size - 200, 2)
+            w, h = int(rng.integers(120, 200)), int(rng.integers(240, 320))
+            h = min(h, size - y - 1)
+            w = min(w, size - x - 1)
+            img[y:y + h, x:x + w] = rng.integers(120, 255, 3, np.uint8)
+            fh = max(h // 4, 16)
+            img[y:y + fh, x:x + w] = rng.integers(180, 255, 3, np.uint8)
+            pts = _SKELETON + rng.normal(0, 0.02, _SKELETON.shape)
+            for k in range(17):
+                kx = int(np.clip(x + pts[k, 0] * w, 1, size - 2))
+                ky = int(np.clip(y + pts[k, 1] * h, 1, size - 2))
+                r = max(int(0.011 * size), 3)
+                ys, xs = np.ogrid[-r:r + 1, -r:r + 1]
+                disc = ys * ys + xs * xs <= r * r
+                y1, y2 = max(ky - r, 0), min(ky + r + 1, size)
+                x1, x2 = max(kx - r, 0), min(kx + r + 1, size)
+                img[y1:y2, x1:x2][disc[r - (ky - y1): r + (y2 - ky),
+                                       r - (kx - x1): r + (x2 - kx)]] = (
+                    _KP_COLORS[k] * 255).astype(np.uint8)
+        return img
 
     rng = np.random.default_rng(7)
     # Thresholds tuned for FRESH-INIT weights (no ported checkpoints exist in

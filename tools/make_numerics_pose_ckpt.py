@@ -27,6 +27,14 @@ sys.path.insert(0, str(ROOT / "tools"))
 
 
 def make_crop_batch(rng, n, h=256, w=192):
+    """Crops matching what the CASCADE's pose stage actually sees
+    (check_cascade_numerics scenes -> detected person box -> ROI
+    crop_and_resize): the bright flat-color person rectangle fills most of
+    the 256x192 frame (the crop IS the box, plus detection-box slack), a
+    brighter face strip in the top quarter, colored skeleton dots (~6-8px
+    after the box->crop resize), dark noise in any border slack. A pose
+    checkpoint trained on mismatched crops produced no peaks on the real
+    cascade crops and the cross-dtype comparison stayed noise-vs-noise."""
     from make_synthetic_multitask_data import _KP_COLORS, _SKELETON
 
     imgs = np.empty((n, h, w, 3), np.float32)
@@ -34,19 +42,23 @@ def make_crop_batch(rng, n, h=256, w=192):
     areas = np.zeros((n, 1), np.float32)
     for i in range(n):
         img = rng.uniform(0, 0.25, (h, w, 3))
-        bw = rng.uniform(0.5, 0.9) * w
-        bh = rng.uniform(0.6, 0.95) * h
+        # detected box ~= drawn box: crop fills 80-100% of the frame
+        bw = rng.uniform(0.8, 1.0) * w
+        bh = rng.uniform(0.8, 1.0) * h
         x0 = rng.uniform(0, w - bw)
         y0 = rng.uniform(0, h - bh)
-        img[int(y0):int(y0 + bh), int(x0):int(x0 + bw)] *= 0.5
-        img[int(y0):int(y0 + bh), int(x0):int(x0 + bw)] += 0.35
+        color = rng.integers(120, 255, 3) / 255.0
+        img[int(y0):int(y0 + bh), int(x0):int(x0 + bw)] = color
+        fh = max(int(bh) // 4, 16)
+        img[int(y0):int(y0 + fh), int(x0):int(x0 + bw)] = (
+            rng.integers(180, 255, 3) / 255.0)
         pts = _SKELETON + rng.normal(0, 0.02, _SKELETON.shape)
         for k in range(17):
             # clamp into the crop: jittered template points can leave the
             # box and an out-of-frame center makes the disc slices empty
             kx = float(np.clip(x0 + pts[k, 0] * bw, 1, w - 2))
             ky = float(np.clip(y0 + pts[k, 1] * bh, 1, h - 2))
-            r = 4
+            r = int(rng.integers(5, 9))  # scene r=7px through box->crop resize
             ys, xs = np.ogrid[-r:r + 1, -r:r + 1]
             disc = ys * ys + xs * xs <= r * r
             yy, xx = int(ky), int(kx)
